@@ -1,0 +1,268 @@
+"""Exact host (client-side / golden) implementation of the reference DPF.
+
+Semantics are replicated bit-for-bit from the reference Go package
+``pir/dpf`` (BGI'16 two-party DPF with a fixed-key MMO AES PRG):
+
+* ``client_initialize`` / ``server_initialize`` — dpf/client.go:17-48,
+  dpf/server.go:16-46.
+* ``generate_two_server``  — dpf/client.go:56-150.
+* ``evaluate_2p``          — dpf/server.go:55-101 (single point).
+* ``eval_full_domain``     — vectorised breadth-first evaluation producing
+  the same values as per-point ``evaluate_2p`` over the whole domain; this
+  is the host golden model for the TPU expansion kernel (the reference
+  instead re-walks the tree per row: db.go:128-171, O(N log N) AES calls).
+* ``evaluate_mp``          — dpf/server.go:110-144 (multi-party XOR-
+  homomorphic eval). Multi-party *keygen* intentionally raises
+  NotImplementedError, matching the reference stub (dpf/client.go:152-156).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import secrets
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.bits import GO_UINT_BITS, get_bit, go_varint, go_varint_vec
+from .aes_host import BLOCK_SIZE, INIT_PRF_LEN, EcbCipher, prf_blocks
+
+
+@dataclass
+class PrfKey:
+    """16-byte AES key; the PRG seed keys (dpf/common.go:13-15)."""
+
+    bytes: bytes
+
+
+@dataclass
+class Key2P:
+    """Two-party DPF key (dpf/common.go:29-35)."""
+
+    s_init: bytes  # 16 bytes
+    t_init: int  # 0/1
+    cw: list[bytes]  # num_bits entries of 18 bytes: 16B seed CW + tL + tR
+    final_cw: int
+
+
+@dataclass
+class KeyMP:
+    """Multi-party DPF key (dpf/common.go:37-42)."""
+
+    num_parties: int
+    cw: list[np.ndarray]  # uint32 arrays
+    sigma: list[bytes]
+
+
+@dataclass
+class Dpf:
+    """Party state (dpf/common.go:17-27)."""
+
+    num_bits: int
+    prf_keys: list[PrfKey]
+    ciphers: list[EcbCipher] = field(repr=False)
+    n: int = GO_UINT_BITS
+    m: int = 4  # multiparty word size
+
+
+def client_initialize(num_bits: int, rng: secrets.SystemRandom | None = None) -> Dpf:
+    """Sample the 4 fixed PRF keys (dpf/client.go:17-48)."""
+    keys = [os.urandom(BLOCK_SIZE) for _ in range(INIT_PRF_LEN)]
+    return Dpf(
+        num_bits=num_bits,
+        prf_keys=[PrfKey(k) for k in keys],
+        ciphers=[EcbCipher(k) for k in keys],
+    )
+
+
+def server_initialize(prf_keys: list[PrfKey], num_bits: int) -> Dpf:
+    """Rebuild the fixed ciphers from client-provided keys (dpf/server.go:16-46)."""
+    return Dpf(
+        num_bits=num_bits,
+        prf_keys=list(prf_keys),
+        ciphers=[EcbCipher(k.bytes) for k in prf_keys],
+    )
+
+
+def _prf1(dpf: Dpf, x: bytes, num_blocks: int = 3) -> bytes:
+    out = prf_blocks(np.frombuffer(x, dtype=np.uint8)[None, :], dpf.ciphers, num_blocks)
+    return out[0].tobytes()
+
+
+def generate_two_server(dpf: Dpf, a: int, b: int) -> list[Key2P]:
+    """BGI'16 two-party keygen for f(a)=b (dpf/client.go:56-150)."""
+    nb = dpf.num_bits
+    temp_rand = os.urandom(BLOCK_SIZE + 1)
+    s_init0 = temp_rand[:BLOCK_SIZE]
+    t_init0 = temp_rand[BLOCK_SIZE] % 2
+    s_init1 = os.urandom(BLOCK_SIZE)
+    t_init1 = t_init0 ^ 1
+
+    s_curr0 = bytearray(s_init0)
+    s_curr1 = bytearray(s_init1)
+    t_curr0, t_curr1 = t_init0, t_init1
+
+    cw = []
+    left, right = 0, BLOCK_SIZE + 1
+    for i in range(nb):
+        out0 = _prf1(dpf, bytes(s_curr0))
+        out1 = _prf1(dpf, bytes(s_curr1))
+        t0l = out0[BLOCK_SIZE] % 2
+        t0r = out0[BLOCK_SIZE * 2 + 1] % 2
+        t1l = out1[BLOCK_SIZE] % 2
+        t1r = out1[BLOCK_SIZE * 2 + 1] % 2
+        a_bit = get_bit(a, dpf.n - nb + i + 1, dpf.n)
+
+        keep, lose = (left, right) if a_bit == 0 else (right, left)
+
+        cw_i = bytearray(BLOCK_SIZE + 2)
+        for j in range(BLOCK_SIZE):
+            cw_i[j] = out0[lose + j] ^ out1[lose + j]
+        cw_i[BLOCK_SIZE] = t0l ^ t1l ^ a_bit ^ 1
+        cw_i[BLOCK_SIZE + 1] = t0r ^ t1r ^ a_bit
+        cw.append(bytes(cw_i))
+
+        for j in range(BLOCK_SIZE):
+            s_curr0[j] = out0[keep + j] ^ (t_curr0 * cw_i[j])
+            s_curr1[j] = out1[keep + j] ^ (t_curr1 * cw_i[j])
+        t_cw_keep = cw_i[BLOCK_SIZE] if keep == left else cw_i[BLOCK_SIZE + 1]
+        t_curr0 = (out0[keep + BLOCK_SIZE] % 2) ^ (t_cw_keep * t_curr0)
+        t_curr1 = (out1[keep + BLOCK_SIZE] % 2) ^ (t_cw_keep * t_curr1)
+
+    s_final0, _ = go_varint(bytes(s_curr0[:8]))
+    s_final1, _ = go_varint(bytes(s_curr1[:8]))
+    final_cw = b - s_final0 + s_final1
+    if t_curr1 == 1:
+        final_cw = -final_cw
+
+    return [
+        Key2P(s_init0, t_init0, list(cw), final_cw),
+        Key2P(s_init1, t_init1, list(cw), final_cw),
+    ]
+
+
+def generate_multi_server(dpf: Dpf, a: int, b: int, num_parties: int):
+    """Multi-party keygen — stubbed in the reference (dpf/client.go:152-156)."""
+    raise NotImplementedError(
+        "multi-party DPF keygen is not implemented (matches reference stub)"
+    )
+
+
+def evaluate_2p(dpf: Dpf, server_num: int, key: Key2P, x: int) -> int:
+    """Single-point two-party eval (dpf/server.go:55-101)."""
+    nb = dpf.num_bits
+    s_curr = bytearray(key.s_init)
+    t_curr = key.t_init
+    for i in range(nb):
+        x_bit = 0 if i == dpf.n else get_bit(x, dpf.n - nb + i + 1, dpf.n)
+        out = bytearray(_prf1(dpf, bytes(s_curr)))
+        cw_i = key.cw[i]
+        # G(s) ^ (t * [sCW || tLCW || sCW || tRCW]) (dpf/server.go:70-85)
+        count = 0
+        for j in range(BLOCK_SIZE * 2 + 2):
+            if j == BLOCK_SIZE + 1:
+                count = 0
+            elif j == BLOCK_SIZE * 2 + 1:
+                count = BLOCK_SIZE + 1
+            out[j] ^= t_curr * cw_i[count]
+            count += 1
+        if x_bit == 0:
+            s_curr[:] = out[:BLOCK_SIZE]
+            t_curr = out[BLOCK_SIZE] % 2
+        else:
+            s_curr[:] = out[BLOCK_SIZE + 1:BLOCK_SIZE * 2 + 1]
+            t_curr = out[BLOCK_SIZE * 2 + 1] % 2
+    s_final, _ = go_varint(bytes(s_curr[:8]))
+    res = s_final + t_curr * key.final_cw
+    return res if server_num == 0 else -res
+
+
+def expand_seeds_one_level(
+    dpf: Dpf,
+    seeds: np.ndarray,
+    t_bits: np.ndarray,
+    cw_i: bytes,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One breadth-first level: (n,16)+(n,) -> (2n,16)+(2n,).
+
+    Children are stored [all left | all right], i.e. the storage order of
+    the final leaves is the bit-reversal of the natural domain order.
+    """
+    out = prf_blocks(seeds, dpf.ciphers, 3)  # (n, 3, 16)
+    flat = out.reshape(out.shape[0], 48)
+    s_l = flat[:, 0:16].copy()
+    t_l = flat[:, 16] & 1
+    s_r = flat[:, 17:33].copy()
+    t_r = flat[:, 33] & 1
+
+    cw_seed = np.frombuffer(cw_i[:16], dtype=np.uint8)
+    t_mask = t_bits.astype(np.uint8)[:, None]
+    s_l ^= cw_seed[None, :] * t_mask
+    s_r ^= cw_seed[None, :] * t_mask
+    t_l = t_l ^ (t_bits & cw_i[16])
+    t_r = t_r ^ (t_bits & cw_i[17])
+
+    return (
+        np.concatenate([s_l, s_r], axis=0),
+        np.concatenate([t_l, t_r], axis=0).astype(np.uint8),
+    )
+
+
+def eval_full_domain(dpf: Dpf, server_num: int, key: Key2P) -> np.ndarray:
+    """Evaluate the DPF share on every point of the 2^num_bits domain.
+
+    Returns int64 values, natural domain order; matches per-point
+    ``evaluate_2p``. O(N) AES calls total (vs O(N log N) in db.go:128-171).
+    """
+    nb = dpf.num_bits
+    seeds = np.frombuffer(key.s_init, dtype=np.uint8)[None, :].copy()
+    t_bits = np.array([key.t_init], dtype=np.uint8)
+    for i in range(nb):
+        seeds, t_bits = expand_seeds_one_level(dpf, seeds, t_bits, key.cw[i])
+
+    s_final = go_varint_vec(seeds[:, :8])
+    res = s_final + t_bits.astype(np.int64) * key.final_cw
+    if server_num != 0:
+        res = -res
+    # storage order is bit-reversed; restore natural order
+    from ..utils.bits import bitrev_permutation
+
+    return res[bitrev_permutation(nb)]
+
+
+def eval_full_domain_bits(dpf: Dpf, server_num: int, key: Key2P, height: int) -> np.ndarray:
+    """PIR selection bits for rows [0, height): bit = (eval % 2 == 0).
+
+    Mirrors the inverted-parity convention of db.go:140-146.
+    """
+    vals = eval_full_domain(dpf, server_num, key)
+    return ((vals & 1) == 0)[:height]
+
+
+def evaluate_mp(dpf: Dpf, key: KeyMP, x: int) -> int:
+    """Multi-party XOR-homomorphic eval (dpf/server.go:110-144)."""
+    p2 = int(math.pow(2, key.num_parties - 1))
+    mu = int(
+        math.ceil(
+            math.pow(2, dpf.num_bits / 2) * math.pow(2, (key.num_parties - 1) / 2)
+        )
+    )
+    nb = dpf.num_bits
+    delta = x & ((1 << (nb // 2)) - 1)
+    gamma = (x & (((1 << ((nb + 1) // 2)) - 1) << (nb // 2))) >> (nb // 2)
+    m_bytes = dpf.m * mu
+
+    y = np.zeros(mu, dtype=np.uint32)
+    for i in range(p2):
+        s = key.sigma[gamma][i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]
+        if all(b == 0 for b in s):
+            continue
+        num_blocks = int(math.ceil(m_bytes / BLOCK_SIZE))
+        out = prf_blocks(
+            np.frombuffer(s, dtype=np.uint8)[None, :], dpf.ciphers, num_blocks
+        )[0].reshape(-1)
+        words = out[: dpf.m * mu].view("<u4")[:mu]
+        y ^= words
+        y ^= np.asarray(key.cw[i][:mu], dtype=np.uint32)
+    return int(y[delta])

@@ -1,0 +1,99 @@
+"""Host DPF correctness tests, mirroring dpf/dpf_test.go.
+
+numTrials is reduced from the reference's 1000 (dpf/dpf_test.go:9) to keep
+CI fast; the per-trial assertions are identical.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from pir_tpu.dpf import host as dpf
+from pir_tpu.utils.bits import go_varint, go_varint_vec, num_bits_for_height
+
+NUM_TRIALS = 30
+
+
+def test_go_varint_vectorised_matches_scalar():
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 256, size=(5000, 8), dtype=np.uint8)
+    # force some all-continuation rows (the ux=0 edge case)
+    buf[:16] |= 0x80
+    vec = go_varint_vec(buf)
+    for i in range(buf.shape[0]):
+        want, _ = go_varint(bytes(buf[i]))
+        assert vec[i] == want, (i, bytes(buf[i]))
+
+
+def test_correct_two_server():
+    """dpf/dpf_test.go:11-39: shares sum to b at the point, 0 elsewhere."""
+    rng = random.Random(1234)
+    for _ in range(NUM_TRIALS):
+        num = rng.randrange(1 << 10) + 100
+        special = rng.randrange(num)
+        value = rng.randrange(num)
+
+        client = dpf.client_initialize(num_bits_for_height(num))
+        keys = dpf.generate_two_server(client, special, value)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+
+        # full-domain vectorised eval must agree with per-point eval
+        full0 = dpf.eval_full_domain(server, 0, keys[0])
+        full1 = dpf.eval_full_domain(server, 1, keys[1])
+        total = full0 + full1
+        for i in rng.sample(range(num), 20) + [special]:
+            ans0 = dpf.evaluate_2p(server, 0, keys[0], i)
+            ans1 = dpf.evaluate_2p(server, 1, keys[1], i)
+            assert ans0 == full0[i]
+            assert ans1 == full1[i]
+        assert total[special] == value
+        mask = np.ones(num, dtype=bool)
+        mask[special] = False
+        assert (total[:num][mask] == 0).all()
+
+
+def test_correct_point_function_two_server():
+    """dpf/dpf_test.go:41-73: parity shares XOR to 1 only at the point."""
+    rng = random.Random(99)
+    for _ in range(NUM_TRIALS):
+        num = rng.randrange(1 << 10) + 100
+        special = rng.randrange(num)
+
+        client = dpf.client_initialize(num_bits_for_height(num))
+        keys = dpf.generate_two_server(client, special, 1)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+
+        bits0 = dpf.eval_full_domain_bits(server, 0, keys[0], num)
+        bits1 = dpf.eval_full_domain_bits(server, 1, keys[1], num)
+        sel = bits0 ^ bits1
+        assert sel[special]
+        assert sel.sum() == 1
+
+
+def test_correct_two_server_keyword():
+    """dpf/dpf_test.go:75-107: 64-bit domain point function."""
+    rng = random.Random(7)
+    for _ in range(6):
+        num = rng.randrange(1 << 62)
+        keyword = rng.randrange(num)
+        value = rng.randrange(1 << 32)
+
+        client = dpf.client_initialize(64)
+        keys = dpf.generate_two_server(client, keyword, value)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+
+        for i in range(20):
+            test_kw = keyword if i == 0 else rng.randrange(num)
+            ans0 = dpf.evaluate_2p(server, 0, keys[0], test_kw)
+            ans1 = dpf.evaluate_2p(server, 1, keys[1], test_kw)
+            if test_kw == keyword:
+                assert ans0 + ans1 == value
+            else:
+                assert ans0 + ans1 == 0
+
+
+def test_multi_server_keygen_matches_reference_stub():
+    client = dpf.client_initialize(10)
+    with pytest.raises(NotImplementedError):
+        dpf.generate_multi_server(client, 1, 1, 3)
