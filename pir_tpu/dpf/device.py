@@ -1,0 +1,384 @@
+"""Device (TPU) DPF evaluation: full-domain expansion and batched point eval.
+
+The reference server expands a DPF query by re-walking the evaluation tree
+from the root for every row (db.go:128-171): O(H log H) AES calls. Here the
+tree is expanded breadth-first — every level doubles the node set — for
+O(H) AES calls total, with all nodes of a level evaluated bitsliced in
+uint32 lanes (see bitslice.py). Three design points:
+
+* **Prefix pruning.** Only nodes whose subtree intersects [0, height) are
+  expanded. The first few levels run on the host (exact numpy AES, natural
+  node order) until >=32 live nodes exist; the rest run on device. This
+  also absorbs the reference's `numBits = log2(h)+1` convention
+  (query.go:61), which doubles the domain for power-of-two heights.
+
+* **Storage order.** The device concatenates [left children | right
+  children] each level, so leaf x of subtree s lands at storage position
+  bitrev(x_low) * num_subtrees + s. A precomputed gather permutation
+  restores natural row order at the leaf stage.
+
+* **Leaf parity only.** PIR needs bit[row] = (eval % 2 == 0) (db.go:142).
+  The parity of the Go-Varint leaf conversion depends only on two bits of
+  seed byte 0 and the 8 continuation bits (see utils.bits), so the leaf
+  stage is a handful of plane ops; full integer eval stays on the host
+  golden path (host.eval_full_domain).
+
+Batched point evaluation (``eval_points_device``) walks all levels with a
+data-dependent branch select instead — used for keyword-based queries
+where the domain (2^32) cannot be fully expanded (db.go:119-135).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bits import GO_UINT_BITS
+from . import host as dpf_host
+from .aes_host import key_schedule
+from .bitslice import aes_encrypt_planes, blocks_to_planes, key_masks
+
+_FULL = np.uint32(0xFFFFFFFF)
+
+
+# --------------------------------------------------------------------------
+# Shared plane-level building blocks
+# --------------------------------------------------------------------------
+
+def _prf_triple(seeds, rk_masks):
+    """Bitsliced MMO PRG: seeds (8,16,NW) -> out (8,16,3,NW)."""
+    x = seeds[:, :, None, :]
+    enc = aes_encrypt_planes(x, rk_masks)
+    return enc ^ x
+
+
+def _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr):
+    """Split PRF output into corrected (sL, tL, sR, tR).
+
+    out: (8,16,3,NW); t_plane: (NW,) packed parent t bits;
+    cw_seed_mask: (8,16,1) 0/~0 masks; cw_tl/cw_tr: scalar 0/~0 masks.
+    Layout (dpf/client.go:99-116): sL = block0[0:16], tL = block1 byte0,
+    sR = block1 bytes1..15 ++ block2 byte0, tR = block2 byte1.
+    """
+    s_l = out[:, :, 0, :]
+    t_l = out[0, 0, 1, :]
+    s_r = jnp.concatenate([out[:, 1:16, 1, :], out[:, 0:1, 2, :]], axis=1)
+    t_r = out[0, 1, 2, :]
+
+    corr = t_plane[None, None, :] & cw_seed_mask
+    s_l = s_l ^ corr
+    s_r = s_r ^ corr
+    t_l = t_l ^ (t_plane & cw_tl)
+    t_r = t_r ^ (t_plane & cw_tr)
+    return s_l, t_l, s_r, t_r
+
+
+def _leaf_select_bits(seeds, t_plane, fcw_mask):
+    """Packed PIR selection bits: bit = (leaf value % 2 == 0).
+
+    Varint parity = (byte0.bit1 ^ byte0.bit0) unless all 8 continuation
+    bits are set (value 0); final value parity adds t * (FinalCW & 1).
+    """
+    allcont = seeds[7, 0]
+    for i in range(1, 8):
+        allcont = allcont & seeds[7, i]
+    parity_s = (seeds[0, 0] ^ seeds[1, 0]) & ~allcont
+    leaf_parity = parity_s ^ (t_plane & fcw_mask)
+    return ~leaf_parity  # inverted convention (db.go:142)
+
+
+def _unpack_bits(packed, n):
+    """(NW,) uint32 -> (32*NW,) uint8 (then caller slices/gathers)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint32(1)
+    return bits.reshape(-1).astype(jnp.uint8)
+
+
+# --------------------------------------------------------------------------
+# Full-domain expansion (index-based queries)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ExpandPlan:
+    """Geometry of a pruned breadth-first expansion."""
+
+    num_bits: int
+    height: int
+    host_levels: int  # levels expanded on host (natural order)
+    m_nodes: int  # live nodes at host_levels
+    m_padded: int  # padded to a multiple of 32
+    device_levels: int
+
+
+def make_plan(num_bits: int, height: int, min_device_nodes: int = 32) -> ExpandPlan:
+    lvl = 0
+    m = 1
+    while lvl < num_bits and m < min_device_nodes:
+        lvl += 1
+        m = -(-height // (1 << (num_bits - lvl)))  # ceil: live nodes at lvl
+    m_padded = -(-m // 32) * 32 if lvl < num_bits else m
+    return ExpandPlan(num_bits, height, lvl, m, m_padded, num_bits - lvl)
+
+
+@functools.lru_cache(maxsize=64)
+def _leaf_perm(num_bits: int, height: int, min_device_nodes: int = 32) -> np.ndarray:
+    """Gather indices: natural row -> storage position."""
+    plan = make_plan(num_bits, height, min_device_nodes)
+    d, m_padded = plan.device_levels, plan.m_padded
+    x = np.arange(height, dtype=np.int64)
+    s = x >> d
+    local = x & ((1 << d) - 1)
+    rev = np.zeros_like(local)
+    for b in range(d):
+        rev |= ((local >> b) & 1) << (d - 1 - b)
+    return rev * m_padded + s
+
+
+def _host_prefix(server: dpf_host.Dpf, key: dpf_host.Key2P, plan: ExpandPlan):
+    """Expand levels [0, host_levels) on the host, pruned, natural order."""
+    seeds = np.frombuffer(key.s_init, dtype=np.uint8)[None, :].copy()
+    t_bits = np.array([key.t_init], dtype=np.uint8)
+    nb = plan.num_bits
+    for i in range(plan.host_levels):
+        out = dpf_host.prf_blocks(seeds, server.ciphers, 3)
+        flat = out.reshape(out.shape[0], 48)
+        cw_i = key.cw[i]
+        cw_seed = np.frombuffer(cw_i[:16], dtype=np.uint8)
+        t_mask = t_bits.astype(np.uint8)[:, None]
+        s_l = flat[:, 0:16] ^ cw_seed[None, :] * t_mask
+        s_r = flat[:, 17:33] ^ cw_seed[None, :] * t_mask
+        t_l = (flat[:, 16] & 1) ^ (t_bits & cw_i[16])
+        t_r = (flat[:, 33] & 1) ^ (t_bits & cw_i[17])
+        # interleave children -> natural order
+        seeds = np.stack([s_l, s_r], axis=1).reshape(-1, 16)
+        t_bits = np.stack([t_l, t_r], axis=1).reshape(-1).astype(np.uint8)
+        live = -(-plan.height // (1 << (nb - i - 1)))
+        seeds = seeds[:live]
+        t_bits = t_bits[:live]
+    return seeds, t_bits
+
+
+@dataclass
+class DeviceKey2P:
+    """Device-ready arrays for one server's DPF share."""
+
+    plan: ExpandPlan
+    seeds0: jnp.ndarray  # (8, 16, NW0) packed level-`host_levels` seeds
+    t0: jnp.ndarray  # (NW0,) packed t bits
+    cw_seed_masks: jnp.ndarray  # (d, 8, 16, 1)
+    cw_tl: jnp.ndarray  # (d,)
+    cw_tr: jnp.ndarray  # (d,)
+    rk_masks: jnp.ndarray  # (11, 8, 16, 3, 1)
+    fcw_mask: jnp.ndarray  # scalar
+    perm: jnp.ndarray  # (height,) natural -> storage gather
+    host_bits: np.ndarray | None  # fallback when device_levels == 0
+
+
+def _pack_t(t_bits: np.ndarray, m_padded: int) -> np.ndarray:
+    padded = np.zeros(m_padded, dtype=np.uint32)
+    padded[: len(t_bits)] = t_bits
+    w = padded.reshape(-1, 32)
+    return (w << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32)
+
+
+def _cw_masks(key: dpf_host.Key2P, start: int):
+    cws = key.cw[start:]
+    d = len(cws)
+    seed_masks = np.zeros((d, 8, 16, 1), dtype=np.uint32)
+    tl = np.zeros(d, dtype=np.uint32)
+    tr = np.zeros(d, dtype=np.uint32)
+    for i, cw in enumerate(cws):
+        b = np.frombuffer(cw[:16], dtype=np.uint8)
+        bits = ((b[None, :] >> np.arange(8, dtype=np.uint8)[:, None]) & 1).astype(np.uint32)
+        seed_masks[i, :, :, 0] = bits * _FULL
+        tl[i] = _FULL if cw[16] & 1 else 0
+        tr[i] = _FULL if cw[17] & 1 else 0
+    return seed_masks, tl, tr
+
+
+def prf_key_masks(server: dpf_host.Dpf) -> np.ndarray:
+    """(11, 8, 16, 3, 1) round-key masks for the first 3 fixed PRF keys."""
+    rks = np.stack([key_schedule(c.key) for c in server.ciphers[:3]])
+    return key_masks(rks)[..., None]
+
+
+def make_device_key(
+    server: dpf_host.Dpf,
+    key: dpf_host.Key2P,
+    height: int,
+    min_device_nodes: int = 32,
+) -> DeviceKey2P:
+    plan = make_plan(server.num_bits, height, min_device_nodes)
+    seeds, t_bits = _host_prefix(server, key, plan)
+
+    if plan.device_levels == 0:
+        # pure-host: compute bits directly (tiny domains)
+        from ..utils.bits import go_varint_vec
+
+        vals = go_varint_vec(np.ascontiguousarray(seeds[:, :8])) + t_bits.astype(
+            np.int64
+        ) * key.final_cw
+        host_bits = ((vals & 1) == 0)[:height].astype(np.uint8)
+        return DeviceKey2P(plan, None, None, None, None, None, None, None, None,
+                           host_bits)
+
+    pad = plan.m_padded - seeds.shape[0]
+    if pad:
+        seeds = np.concatenate([seeds, np.zeros((pad, 16), dtype=np.uint8)])
+        t_bits = np.concatenate([t_bits, np.zeros(pad, dtype=np.uint8)])
+
+    seed_planes = blocks_to_planes(seeds)
+    t_packed = _pack_t(t_bits, plan.m_padded)
+    cw_seed_masks, tl, tr = _cw_masks(key, plan.host_levels)
+    fcw = np.uint32(_FULL if (key.final_cw & 1) else 0)
+    perm = _leaf_perm(plan.num_bits, height, min_device_nodes)
+
+    return DeviceKey2P(
+        plan=plan,
+        seeds0=jnp.asarray(seed_planes),
+        t0=jnp.asarray(t_packed),
+        cw_seed_masks=jnp.asarray(cw_seed_masks),
+        cw_tl=jnp.asarray(tl),
+        cw_tr=jnp.asarray(tr),
+        rk_masks=jnp.asarray(prf_key_masks(server)),
+        fcw_mask=jnp.asarray(fcw),
+        perm=jnp.asarray(perm),
+        host_bits=None,
+    )
+
+
+@jax.jit
+def _level_step(seeds, t_plane, cw_seed_mask, cw_tl, cw_tr, rk_masks):
+    """One breadth-first doubling level: (8,16,NW) -> (8,16,2NW).
+
+    jit-cached per lane width NW, so the whole expansion needs only
+    log2(H) compiled variants *total*, shared by every query and height
+    (correction words and round keys are runtime arguments).
+    """
+    out = _prf_triple(seeds, rk_masks)
+    s_l, t_l, s_r, t_r = _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr)
+    return (
+        jnp.concatenate([s_l, s_r], axis=-1),
+        jnp.concatenate([t_l, t_r], axis=-1),
+    )
+
+
+@jax.jit
+def _leaf_stage(seeds, t_plane, fcw_mask, perm):
+    packed = _leaf_select_bits(seeds, t_plane, fcw_mask)
+    bits = _unpack_bits(packed, packed.shape[0] * 32)
+    return jnp.take(bits, perm, axis=0)
+
+
+def expand_query_bits(dkey: DeviceKey2P) -> jnp.ndarray:
+    """(height,) uint8 selection bits, natural row order, on device."""
+    if dkey.host_bits is not None:
+        return jnp.asarray(dkey.host_bits)
+    seeds, t_plane = dkey.seeds0, dkey.t0
+    for i in range(dkey.plan.device_levels):
+        seeds, t_plane = _level_step(
+            seeds, t_plane, dkey.cw_seed_masks[i], dkey.cw_tl[i], dkey.cw_tr[i],
+            dkey.rk_masks,
+        )
+    return _leaf_stage(seeds, t_plane, dkey.fcw_mask, dkey.perm)
+
+
+# --------------------------------------------------------------------------
+# Batched point evaluation (keyword-based queries, db.go:119-135)
+# --------------------------------------------------------------------------
+
+def pack_point_bit_planes(points: np.ndarray, num_bits: int) -> np.ndarray:
+    """Branch-bit planes for a batch of evaluation points.
+
+    Returns (num_bits, NW) uint32 where level i's plane holds, packed, the
+    bit ``get_bit(x, N - num_bits + i + 1, N)`` of each point — i.e. MSB
+    first over the num_bits-bit domain (dpf/server.go:63-66).
+    """
+    n = len(points)
+    nw = -(-n // 32)
+    padded = np.zeros(nw * 32, dtype=np.uint64)
+    padded[:n] = points.astype(np.uint64)
+    levels = []
+    for i in range(num_bits):
+        shift = np.uint64(num_bits - 1 - i)
+        bits = ((padded >> shift) & np.uint64(1)).astype(np.uint32)
+        w = bits.reshape(-1, 32)
+        levels.append((w << np.arange(32, dtype=np.uint32)).sum(axis=1, dtype=np.uint32))
+    return np.stack(levels)
+
+
+@dataclass
+class DevicePointKey2P:
+    num_bits: int
+    num_points: int
+    s_init_masks: jnp.ndarray  # (8, 16, 1) broadcast seed masks
+    t_init_mask: jnp.ndarray  # scalar
+    cw_seed_masks: jnp.ndarray  # (nb, 8, 16, 1)
+    cw_tl: jnp.ndarray
+    cw_tr: jnp.ndarray
+    rk_masks: jnp.ndarray
+    fcw_mask: jnp.ndarray
+
+
+def make_device_point_key(server: dpf_host.Dpf, key: dpf_host.Key2P) -> DevicePointKey2P:
+    s_bytes = np.frombuffer(key.s_init, dtype=np.uint8)
+    bits = ((s_bytes[None, :] >> np.arange(8, dtype=np.uint8)[:, None]) & 1).astype(
+        np.uint32
+    )
+    s_masks = (bits * _FULL)[:, :, None]
+    cw_seed_masks, tl, tr = _cw_masks(key, 0)
+    return DevicePointKey2P(
+        num_bits=server.num_bits,
+        num_points=0,
+        s_init_masks=jnp.asarray(s_masks),
+        t_init_mask=jnp.asarray(np.uint32(_FULL if key.t_init else 0)),
+        cw_seed_masks=jnp.asarray(cw_seed_masks),
+        cw_tl=jnp.asarray(tl),
+        cw_tr=jnp.asarray(tr),
+        rk_masks=jnp.asarray(prf_key_masks(server)),
+        fcw_mask=jnp.asarray(np.uint32(_FULL if (key.final_cw & 1) else 0)),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _point_eval_fn(num_bits: int, nw: int, n_points: int):
+    def run(s_masks, t_mask, cw_seed_masks, cw_tl, cw_tr, rk_masks, fcw_mask, xbits):
+        seeds = jnp.broadcast_to(s_masks, (8, 16, nw)).astype(jnp.uint32)
+        t_plane = jnp.broadcast_to(t_mask, (nw,)).astype(jnp.uint32)
+
+        def body(i, carry):
+            seeds, t_plane = carry
+            out = _prf_triple(seeds, rk_masks)
+            s_l, t_l, s_r, t_r = _children(
+                out, t_plane, cw_seed_masks[i], cw_tl[i], cw_tr[i]
+            )
+            xb = xbits[i]
+            seeds = (s_l & ~xb[None, None, :]) | (s_r & xb[None, None, :])
+            t_plane = (t_l & ~xb) | (t_r & xb)
+            return seeds, t_plane
+
+        seeds, t_plane = jax.lax.fori_loop(0, num_bits, body, (seeds, t_plane))
+        packed = _leaf_select_bits(seeds, t_plane, fcw_mask)
+        return _unpack_bits(packed, nw * 32)[:n_points]
+
+    return jax.jit(run)
+
+
+def eval_points_bits(dkey: DevicePointKey2P, xbit_planes: jnp.ndarray, n_points: int):
+    """(n_points,) uint8 selection bits for arbitrary evaluation points."""
+    nw = xbit_planes.shape[1]
+    fn = _point_eval_fn(dkey.num_bits, nw, n_points)
+    return fn(
+        dkey.s_init_masks,
+        dkey.t_init_mask,
+        dkey.cw_seed_masks,
+        dkey.cw_tl,
+        dkey.cw_tr,
+        dkey.rk_masks,
+        dkey.fcw_mask,
+        jnp.asarray(xbit_planes),
+    )
