@@ -1,0 +1,110 @@
+"""Database: slots arranged as a width x height grid (reference: db.go).
+
+TPU-first data model: the canonical storage is a dense numpy
+``(db_size, slot_bytes) uint8`` array (uploaded once to device by the
+server engines); ``Slot`` objects are materialised on demand for API
+parity with the reference.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .slot import Slot, get_required_slot_size
+
+
+@dataclass
+class DBMetadata:
+    """Layout info shared client<->server (db.go:13-18)."""
+
+    slot_bytes: int = 0
+    db_size: int = 0
+
+    # ---- dimension helpers (db.go:396-446) ----
+
+    def index_to_coordinates(self, index: int, width: int, height: int):
+        return index // width, index % width
+
+    def get_dimensions_for_database(self, height: int, group_size: int):
+        """Returns (width*group_size, height) (db.go:403-420).
+
+        Note the reference's float-of-integer-division idiom makes every
+        ceil a floor; replicated here with plain integer division.
+        """
+        dim_width = self.db_size // (height * group_size)
+        if dim_width == 0:
+            dim_width = 1
+        dim_height = self.db_size // (dim_width * group_size)
+        return dim_width * group_size, dim_height
+
+    def get_sqrt_of_db_size(self) -> int:
+        return int(math.sqrt(self.db_size) + 1)
+
+
+def get_optimal_db_dimensions(slot_size: int, db_size: int):
+    """Bandwidth-optimal grid (db.go:425-434)."""
+    height = int(max(1, math.sqrt(db_size * slot_size)))
+    width = math.ceil(db_size / height)
+    return int(width), int(height)
+
+
+def get_optimal_weighted_db_dimensions(slot_size: int, db_size: int, weight: int):
+    width, height = get_optimal_db_dimensions(slot_size, db_size)
+    return int(width / weight), int(math.ceil(height * weight))
+
+
+@dataclass
+class Database(DBMetadata):
+    """Slot array + optional per-row keywords (db.go:20-26)."""
+
+    data: np.ndarray = field(default_factory=lambda: np.zeros((0, 0), np.uint8))
+    keywords: np.ndarray | None = None
+
+    @property
+    def slots(self) -> list[Slot]:
+        return [Slot(self.data[i].tobytes()) for i in range(self.db_size)]
+
+    def slot(self, i: int) -> Slot:
+        return Slot(self.data[i].tobytes())
+
+    def metadata(self) -> DBMetadata:
+        return DBMetadata(self.slot_bytes, self.db_size)
+
+    def build_for_data(self, data: list[str]) -> None:
+        self.build_for_data_with_slot_size(data, get_required_slot_size(data))
+
+    def build_for_data_with_slot_size(self, data: list[str], slot_size: int) -> None:
+        self.slot_bytes = slot_size
+        self.db_size = len(data)
+        arr = np.zeros((len(data), slot_size), dtype=np.uint8)
+        for i, s in enumerate(data):
+            b = s.encode("latin-1")[:slot_size]
+            arr[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        self.data = arr
+
+    def set_keywords(self, keywords) -> None:
+        self.keywords = np.asarray(keywords, dtype=np.uint64)
+
+
+def new_database() -> Database:
+    return Database()
+
+
+def generate_random_db(size: int, num_bytes: int) -> Database:
+    """testing.go:5-18."""
+    db = Database(slot_bytes=num_bytes, db_size=size)
+    db.data = np.frombuffer(os.urandom(size * num_bytes), dtype=np.uint8).reshape(
+        size, num_bytes
+    ).copy()
+    return db
+
+
+def generate_empty_db(size: int, num_bytes: int) -> Database:
+    """testing.go:20-36."""
+    db = Database(slot_bytes=num_bytes, db_size=size)
+    db.data = np.zeros((size, num_bytes), dtype=np.uint8)
+    return db

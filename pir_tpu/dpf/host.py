@@ -240,6 +240,34 @@ def eval_full_domain_bits(dpf: Dpf, server_num: int, key: Key2P, height: int) ->
     return ((vals & 1) == 0)[:height]
 
 
+def eval_points(dpf: Dpf, server_num: int, key: Key2P, xs: np.ndarray) -> np.ndarray:
+    """Vectorised multi-point ``evaluate_2p`` (host golden for keyword mode).
+
+    All points walk the tree together; per level each point follows its
+    own branch (dpf/server.go:55-94 semantics, batched).
+    """
+    nb = dpf.num_bits
+    xs = np.asarray(xs, dtype=np.uint64)
+    n = len(xs)
+    seeds = np.tile(np.frombuffer(key.s_init, dtype=np.uint8), (n, 1))
+    t_bits = np.full(n, key.t_init, dtype=np.uint8)
+    for i in range(nb):
+        out = prf_blocks(seeds, dpf.ciphers, 3).reshape(n, 48)
+        cw_i = key.cw[i]
+        cw_seed = np.frombuffer(cw_i[:16], dtype=np.uint8)
+        t_mask = t_bits[:, None]
+        s_l = out[:, 0:16] ^ cw_seed[None, :] * t_mask
+        s_r = out[:, 17:33] ^ cw_seed[None, :] * t_mask
+        t_l = (out[:, 16] & 1) ^ (t_bits & cw_i[16])
+        t_r = (out[:, 33] & 1) ^ (t_bits & cw_i[17])
+        x_bit = ((xs >> np.uint64(nb - 1 - i)) & np.uint64(1)).astype(bool)
+        seeds = np.where(x_bit[:, None], s_r, s_l)
+        t_bits = np.where(x_bit, t_r, t_l).astype(np.uint8)
+    s_final = go_varint_vec(np.ascontiguousarray(seeds[:, :8]))
+    res = s_final + t_bits.astype(np.int64) * key.final_cw
+    return res if server_num == 0 else -res
+
+
 def evaluate_mp(dpf: Dpf, key: KeyMP, x: int) -> int:
     """Multi-party XOR-homomorphic eval (dpf/server.go:110-144)."""
     p2 = int(math.pow(2, key.num_parties - 1))

@@ -1,0 +1,152 @@
+"""Server-side secret-shared query engines (reference: db.go L2 layer).
+
+Two interchangeable backends answer the same queries bit-for-bit:
+
+* ``host``  — vectorised numpy + AES-NI (via OpenSSL ECB). The golden
+  engine; also a strong CPU baseline (full-domain O(H) expansion instead
+  of the reference's O(H log H) per-row tree walks).
+* ``device`` — JAX/TPU: bitsliced full-domain DPF expansion
+  (dpf/device.py) fused with a masked-XOR VPU scan (ops/scan.py).
+
+The reference's goroutine ``nprocs`` fan-out (db.go:110-174) is replaced
+by data-parallel lanes; there is no semantic equivalent of nprocs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .database import Database
+from .dpf import host as dpf_host
+from .query import QueryShare, SecretSharedQueryResult
+from .slot import Slot
+
+
+def _dims(db: Database, query: QueryShare) -> tuple[int, int]:
+    """(dim_width, dim_height) per db.go:78-80: G and DBSize // G."""
+    return query.group_size, db.db_size // query.group_size
+
+
+def _server_dpf(db: Database, query: QueryShare) -> dpf_host.Dpf:
+    from .utils.bits import num_bits_for_height
+
+    dim_height = db.db_size // query.group_size
+    num_bits = 32 if query.is_keyword_based else num_bits_for_height(dim_height)
+    return dpf_host.server_initialize(query.prf_keys, num_bits)
+
+
+def expand_shared_query(db: Database, query: QueryShare) -> np.ndarray:
+    """Host expansion of the DPF into per-row selection bits (db.go:109-174)."""
+    dim_height = db.db_size // query.group_size
+    pf = _server_dpf(db, query)
+    if not query.is_two_party:
+        vals = np.array(
+            [
+                dpf_host.evaluate_mp(pf, query.key_multi_party, int(k))
+                for k in (
+                    db.keywords[:dim_height]
+                    if query.is_keyword_based
+                    else range(dim_height)
+                )
+            ],
+            dtype=np.int64,
+        )
+        return (vals & 1) == 0
+    if query.is_keyword_based:
+        vals = dpf_host.eval_points(
+            pf, query.share_number, query.key_two_party, db.keywords[:dim_height]
+        )
+        return (vals & 1) == 0
+    return dpf_host.eval_full_domain_bits(
+        pf, query.share_number, query.key_two_party, dim_height
+    )
+
+
+def private_secret_shared_query_with_expanded_bits(
+    db: Database, query: QueryShare, bits: np.ndarray
+) -> SecretSharedQueryResult:
+    """The XOR scan over selected rows (db.go:74-107), vectorised."""
+    dim_width, dim_height = _dims(db, query)
+    used = dim_height * dim_width
+    rows = db.data[:used].reshape(dim_height, dim_width, db.slot_bytes)
+    mask = np.asarray(bits[:dim_height], dtype=bool)
+    if mask.any():
+        acc = np.bitwise_xor.reduce(rows[mask], axis=0)
+    else:
+        acc = np.zeros((dim_width, db.slot_bytes), dtype=np.uint8)
+    shares = [Slot(acc[c].tobytes()) for c in range(dim_width)]
+    return SecretSharedQueryResult(db.slot_bytes, shares)
+
+
+def private_secret_shared_query(
+    db: Database, query: QueryShare
+) -> SecretSharedQueryResult:
+    """db.go:67-72 (host backend)."""
+    bits = expand_shared_query(db, query)
+    return private_secret_shared_query_with_expanded_bits(db, query, bits)
+
+
+class TpuPirServer:
+    """Device-resident PIR server: DB uploaded once, queries answered on TPU.
+
+    Tables and keyword bit-planes are cached per group size; the DPF
+    expansion reuses jitted per-width level steps across queries.
+    """
+
+    def __init__(self, db: Database, min_device_nodes: int = 32):
+        self.db = db
+        self.min_device_nodes = min_device_nodes
+        self._tables: dict[int, tuple] = {}
+        self._kw_planes: dict[int, object] = {}
+
+    def _table(self, group_size: int):
+        import jax.numpy as jnp
+
+        from .ops.scan import pack_table_u32
+
+        if group_size not in self._tables:
+            h = self.db.db_size // group_size
+            tbl = pack_table_u32(self.db.data, h, group_size)
+            self._tables[group_size] = (jnp.asarray(tbl), h)
+        return self._tables[group_size]
+
+    def expand_shared_query(self, query: QueryShare):
+        """Device DPF expansion -> (H,) uint8 bits (device array)."""
+        from .dpf import device as dev
+
+        _, h = self._table(query.group_size)
+        pf = _server_dpf(self.db, query)
+        if not query.is_two_party:
+            raise NotImplementedError(
+                "multi-party expansion has no device path (keygen is a stub "
+                "in the reference, dpf/client.go:152-156)"
+            )
+        if query.is_keyword_based:
+            if query.group_size not in self._kw_planes:
+                self._kw_planes[query.group_size] = dev.pack_point_bit_planes(
+                    self.db.keywords[:h], 32
+                )
+            dkey = dev.make_device_point_key(pf, query.key_two_party)
+            return dev.eval_points_bits(dkey, self._kw_planes[query.group_size], h)
+        dkey = dev.make_device_key(
+            pf, query.key_two_party, h, self.min_device_nodes
+        )
+        return dev.expand_query_bits(dkey)
+
+    def private_secret_shared_query_with_expanded_bits(
+        self, query: QueryShare, bits
+    ) -> SecretSharedQueryResult:
+        from .ops.scan import masked_xor_scan, unpack_result_u32
+
+        table, h = self._table(query.group_size)
+        res = masked_xor_scan(table, bits)
+        out = unpack_result_u32(np.asarray(res), query.group_size, self.db.slot_bytes)
+        return SecretSharedQueryResult(
+            self.db.slot_bytes, [Slot(out[c].tobytes()) for c in range(out.shape[0])]
+        )
+
+    def private_secret_shared_query(self, query: QueryShare) -> SecretSharedQueryResult:
+        bits = self.expand_shared_query(query)
+        return self.private_secret_shared_query_with_expanded_bits(query, bits)
