@@ -1,0 +1,78 @@
+"""Flagship model: the fused 2-server PIR answer pipeline as pure functions.
+
+``expand_bits_planes`` + ``answer_query`` express the full server-side
+forward step (DPF full-domain expansion -> masked-XOR scan) over plain
+arrays, so they can be jitted, vmapped over query batches, and shard_mapped
+over device meshes (parallel/mesh.py). This is the call stack 3.1 hot path
+of the reference (db.go:68-174) as one compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..dpf.device import _children, _leaf_select_bits, _prf_triple, _unpack_bits
+from ..ops.scan import xor_reduce
+
+
+def expand_bits_planes(
+    seeds, t_plane, cw_seed_masks, cw_tl, cw_tr, rk_masks, fcw_mask, perm, *,
+    d_levels: int,
+):
+    """Breadth-first expansion of packed seed planes into selection bits.
+
+    seeds (8,16,NW0), t_plane (NW0,), cw_* (d,...), perm (rows,) ->
+    (rows,) uint8 natural-order bits.
+    """
+    for i in range(d_levels):
+        out = _prf_triple(seeds, rk_masks)
+        s_l, t_l, s_r, t_r = _children(
+            out, t_plane, cw_seed_masks[i], cw_tl[i], cw_tr[i]
+        )
+        seeds = jnp.concatenate([s_l, s_r], axis=-1)
+        t_plane = jnp.concatenate([t_l, t_r], axis=-1)
+    packed = _leaf_select_bits(seeds, t_plane, fcw_mask)
+    bits = _unpack_bits(packed, packed.shape[0] * 32)
+    return jnp.take(bits, perm, axis=0)
+
+
+def answer_query(
+    table, seeds, t_plane, cw_seed_masks, cw_tl, cw_tr, rk_masks, fcw_mask, perm, *,
+    d_levels: int,
+):
+    """Full single-shard forward step: expand + masked-XOR scan.
+
+    table (H, C) uint32 -> answer share (C,) uint32.
+    """
+    bits = expand_bits_planes(
+        seeds, t_plane, cw_seed_masks, cw_tl, cw_tr, rk_masks, fcw_mask, perm,
+        d_levels=d_levels,
+    )
+    mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+    return xor_reduce(table & mask, axis=0)
+
+
+def make_answer_fn(d_levels: int):
+    """Jittable flagship forward with the level count baked in."""
+    return functools.partial(answer_query, d_levels=d_levels)
+
+
+def batched_answer(table, keys, *, d_levels: int):
+    """vmap over a batch of queries sharing one table.
+
+    keys is a tuple of arrays with a leading query axis:
+    (seeds (Q,8,16,NW0), t (Q,NW0), cw_seed (Q,d,8,16,1), cw_tl (Q,d),
+     cw_tr (Q,d), rk (Q,11,8,16,3,1), fcw (Q,), perm (rows,)).
+    Returns (Q, C) uint32 answer shares.
+    """
+    seeds, t_plane, cw_s, cw_tl, cw_tr, rk, fcw, perm = keys
+
+    def one(s, t, cs, ctl, ctr, r, f):
+        return answer_query(
+            table, s, t, cs, ctl, ctr, r, f, perm, d_levels=d_levels
+        )
+
+    return jax.vmap(one)(seeds, t_plane, cw_s, cw_tl, cw_tr, rk, fcw)

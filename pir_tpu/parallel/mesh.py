@@ -1,0 +1,191 @@
+"""Multi-chip sharding of the PIR answer pipeline.
+
+Mapping of classic parallelism axes onto PIR (SURVEY.md §2.10):
+
+* **tp**  — the database *rows* axis: each device owns a contiguous row
+  shard plus the DPF subtree seeds covering exactly those rows, expands
+  them locally, scans its table shard, and the per-shard answer shares
+  are XOR-combined (the reference's nprocs partial merge, db.go:256-261,
+  becomes a cross-device XOR reduction riding ICI).
+* **dp**  — the query-batch axis: independent queries on independent
+  devices.
+* pp/sp/ep have no analogue: there is no pipeline depth, sequence
+  dimension, or expert routing in PIR (SURVEY.md §5 long-context note).
+
+The client-side key never changes: sharding is a *server-side* layout
+choice (subtree split of the same DPF), invisible to the protocol.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # moved across JAX versions
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..dpf import host as dpf_host
+from ..dpf.bitslice import blocks_to_planes
+from ..dpf.device import _cw_masks, _pack_t, _host_prefix, ExpandPlan, prf_key_masks
+from ..models.pipeline import expand_bits_planes
+from ..ops.scan import xor_reduce
+
+
+def make_mesh(n_devices: int | None = None, dp: int = 1) -> Mesh:
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    tp = len(devs) // dp
+    return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
+
+
+@dataclass
+class ShardedKeyArrays:
+    """Per-query device arrays split into `n_shards` row shards."""
+
+    seeds: np.ndarray  # (D, 8, 16, NWs)
+    t: np.ndarray  # (D, NWs)
+    cw_seed_masks: np.ndarray  # (d, 8, 16, 1)
+    cw_tl: np.ndarray  # (d,)
+    cw_tr: np.ndarray  # (d,)
+    rk_masks: np.ndarray  # (11, 8, 16, 3, 1)
+    fcw_mask: np.ndarray  # scalar uint32
+    d_levels: int
+    rows_per_shard: int  # covered rows per shard (padded)
+
+
+def make_sharded_key(
+    server: dpf_host.Dpf, key: dpf_host.Key2P, height: int, n_shards: int
+) -> ShardedKeyArrays:
+    """Split one DPF share into per-row-shard subtree seed sets."""
+    nb = server.num_bits
+    min_nodes = 32 * n_shards
+    lvl, m = 0, 1
+    while lvl < nb and m < min_nodes:
+        lvl += 1
+        m = -(-height // (1 << (nb - lvl)))
+    if m < min_nodes:
+        raise ValueError(
+            f"height {height} too small to shard {n_shards} ways (need >= "
+            f"{min_nodes} leaf nodes)"
+        )
+    per_shard_nodes = -(-m // n_shards)
+    per_shard_nodes = -(-per_shard_nodes // 32) * 32
+    m_padded = per_shard_nodes * n_shards
+
+    plan = ExpandPlan(nb, height, lvl, m, m_padded, nb - lvl)
+    seeds, t_bits = _host_prefix(server, key, plan)
+    pad = m_padded - seeds.shape[0]
+    if pad:
+        seeds = np.concatenate([seeds, np.zeros((pad, 16), dtype=np.uint8)])
+        t_bits = np.concatenate([t_bits, np.zeros(pad, dtype=np.uint8)])
+
+    seed_planes = np.stack(
+        [
+            blocks_to_planes(seeds[k * per_shard_nodes:(k + 1) * per_shard_nodes])
+            for k in range(n_shards)
+        ]
+    )  # (D, 8, 16, NWs)
+    t_packed = np.stack(
+        [
+            _pack_t(
+                t_bits[k * per_shard_nodes:(k + 1) * per_shard_nodes],
+                per_shard_nodes,
+            )
+            for k in range(n_shards)
+        ]
+    )
+    cw_seed_masks, tl, tr = _cw_masks(key, lvl)
+    return ShardedKeyArrays(
+        seeds=seed_planes,
+        t=t_packed,
+        cw_seed_masks=cw_seed_masks,
+        cw_tl=tl,
+        cw_tr=tr,
+        rk_masks=np.asarray(prf_key_masks(server)),
+        fcw_mask=np.uint32(0xFFFFFFFF if (key.final_cw & 1) else 0),
+        d_levels=nb - lvl,
+        rows_per_shard=per_shard_nodes << (nb - lvl),
+    )
+
+
+def shard_local_perm(d_levels: int, per_shard_nodes: int) -> np.ndarray:
+    """Natural local row -> local storage position (same for every shard)."""
+    rows = per_shard_nodes << d_levels
+    x = np.arange(rows, dtype=np.int64)
+    s = x >> d_levels
+    local = x & ((1 << d_levels) - 1)
+    rev = np.zeros_like(local)
+    for b in range(d_levels):
+        rev |= ((local >> b) & 1) << (d_levels - 1 - b)
+    return rev * per_shard_nodes + s
+
+
+def pad_table_rows(table: np.ndarray, total_rows: int) -> np.ndarray:
+    """Zero-pad a (H, C) table to the sharded row count."""
+    if table.shape[0] == total_rows:
+        return table
+    out = np.zeros((total_rows, table.shape[1]), dtype=table.dtype)
+    out[: table.shape[0]] = table
+    return out
+
+
+def make_sharded_answer_step(mesh: Mesh, d_levels: int):
+    """Build the jitted multi-chip batched answer step.
+
+    Returns step(table, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, perm) where
+      table (H_pad, C) uint32             sharded P('tp', None)
+      seeds (D, Q, 8, 16, NWs)            P('tp', 'dp')
+      t     (D, Q, NWs)                   P('tp', 'dp')
+      cw_s  (Q, d, 8, 16, 1), cw_tl/r (Q, d)   P('dp')
+      rk    (Q, 11, 8, 16, 3, 1)          P('dp')
+      fcw   (Q,)                          P('dp')
+      perm  (rows_per_shard,)             replicated
+    and yields (Q, C) uint32 XOR-combined answer shares.
+    """
+
+    def local(table_s, seeds_s, t_s, cw_s, cw_tl, cw_tr, rk, fcw, perm):
+        # leading tp axis of size 1 on seeds/t
+        seeds_s = seeds_s[0]
+        t_s = t_s[0]
+
+        def one(s, t, cs, ctl, ctr, r, f):
+            bits = expand_bits_planes(
+                s, t, cs, ctl, ctr, r, f, perm, d_levels=d_levels
+            )
+            mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+            return xor_reduce(table_s & mask, axis=0)
+
+        partial = jax.vmap(one)(seeds_s, t_s, cw_s, cw_tl, cw_tr, rk, fcw)
+        # XOR-combine across row shards: XLA lacks an XOR AllReduce, so
+        # all_gather the (tiny) per-shard answers over ICI and fold locally
+        # (this is the multi-chip form of db.go:256-261's partial merge).
+        gathered = jax.lax.all_gather(partial, "tp")  # (D, Qs, C)
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("tp", None),
+            P("tp", "dp"),
+            P("tp", "dp"),
+            P("dp"),
+            P("dp"),
+            P("dp"),
+            P("dp"),
+            P("dp"),
+            P(),
+        ),
+        out_specs=P("dp"),
+        # the all_gather+fold leaves the value replicated across 'tp', but
+        # the static replication checker can't infer that through lax.reduce
+        check_vma=False,
+    )
+
+    return jax.jit(mapped)

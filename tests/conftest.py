@@ -3,11 +3,18 @@
 Multi-chip hardware is not available in CI; per the build plan, sharding
 logic is exercised on a virtual CPU mesh (jax.sharding.Mesh over 8 host
 devices). The real-TPU path is exercised by bench.py instead.
+
+Note: the environment may pin JAX_PLATFORMS to a TPU plugin via a site
+module that reads it before conftest runs, so we must use
+jax.config.update rather than the env var.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
