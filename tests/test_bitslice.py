@@ -45,11 +45,13 @@ def test_gf_inv_and_sbox_exhaustive():
                         dtype=np.uint8)
     assert (inv_bytes == want_inv).all()
 
-    # full S-box via the (8, 16, ...) state entry point
+    # full S-box via the (8, 16, ...) state entry points: both the
+    # Boyar-Peralta circuit (production) and the algebraic derivation
     state = jnp.stack([planes] * 16, axis=1).reshape(8, 16, -1)
-    sboxed = bs.sub_bytes(state)
-    got = _bitplanes_to_bytes(np.asarray(sboxed)[:, 3, :], 256)
-    assert (got == SBOX[vals]).all()
+    for impl in (bs.sub_bytes, bs.sub_bytes_algebraic):
+        sboxed = impl(state)
+        got = _bitplanes_to_bytes(np.asarray(sboxed)[:, 3, :], 256)
+        assert (got == SBOX[vals]).all(), impl.__name__
 
 
 def test_gf_mul_random():
