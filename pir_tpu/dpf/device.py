@@ -167,14 +167,14 @@ class DeviceKey2P:
     """Device-ready arrays for one server's DPF share."""
 
     plan: ExpandPlan
-    seeds0: jnp.ndarray  # (8, 16, NW0) packed level-`host_levels` seeds
-    t0: jnp.ndarray  # (NW0,) packed t bits
-    cw_seed_masks: jnp.ndarray  # (d, 8, 16, 1)
-    cw_tl: jnp.ndarray  # (d,)
-    cw_tr: jnp.ndarray  # (d,)
-    rk_masks: jnp.ndarray  # (11, 8, 16, 3, 1)
-    fcw_mask: jnp.ndarray  # scalar
-    perm: jnp.ndarray  # (height,) natural -> storage gather
+    seeds0: np.ndarray  # (8, 16, NW0) packed level-`host_levels` seeds
+    t0: np.ndarray  # (NW0,) packed t bits
+    cw_seed_masks: np.ndarray  # (d, 8, 16, 1)
+    cw_tl: np.ndarray  # (d,)
+    cw_tr: np.ndarray  # (d,)
+    rk_masks: np.ndarray  # (11, 8, 16, 3, 1)
+    fcw_mask: np.ndarray  # scalar uint32
+    perm: np.ndarray  # (height,) natural -> storage gather
     host_bits: np.ndarray | None  # fallback when device_levels == 0
 
 
@@ -239,14 +239,14 @@ def make_device_key(
 
     return DeviceKey2P(
         plan=plan,
-        seeds0=jnp.asarray(seed_planes),
-        t0=jnp.asarray(t_packed),
-        cw_seed_masks=jnp.asarray(cw_seed_masks),
-        cw_tl=jnp.asarray(tl),
-        cw_tr=jnp.asarray(tr),
-        rk_masks=jnp.asarray(prf_key_masks(server)),
-        fcw_mask=jnp.asarray(fcw),
-        perm=jnp.asarray(perm),
+        seeds0=seed_planes,
+        t0=t_packed,
+        cw_seed_masks=cw_seed_masks,
+        cw_tl=tl,
+        cw_tr=tr,
+        rk_masks=prf_key_masks(server),
+        fcw_mask=fcw,
+        perm=perm,
         host_bits=None,
     )
 
@@ -285,6 +285,74 @@ def expand_query_bits(dkey: DeviceKey2P) -> jnp.ndarray:
             dkey.rk_masks,
         )
     return _leaf_stage(seeds, t_plane, dkey.fcw_mask, dkey.perm)
+
+
+# --------------------------------------------------------------------------
+# Packed key payloads — one upload per query instead of seven
+# --------------------------------------------------------------------------
+# The axon/TPU dispatch latency dominates small-query serving, so all
+# per-query key material is flattened into a single uint32 vector and
+# sliced back apart on device (free under jit).
+
+@dataclass(frozen=True)
+class PayloadLayout:
+    nw0: int
+    d_levels: int
+    height: int
+
+    @property
+    def sizes(self):
+        nw0, d = self.nw0, self.d_levels
+        return (8 * 16 * nw0, nw0, d * 128, d, d, 1, 11 * 8 * 16 * 3)
+
+    @property
+    def total(self):
+        return sum(self.sizes)
+
+
+def pack_key_payload(dkey: DeviceKey2P) -> tuple[np.ndarray, PayloadLayout]:
+    plan = dkey.plan
+    layout = PayloadLayout(plan.m_padded // 32, plan.device_levels, plan.height)
+    parts = [
+        np.asarray(dkey.seeds0, dtype=np.uint32).ravel(),
+        np.asarray(dkey.t0, dtype=np.uint32).ravel(),
+        np.asarray(dkey.cw_seed_masks, dtype=np.uint32).ravel(),
+        np.asarray(dkey.cw_tl, dtype=np.uint32).ravel(),
+        np.asarray(dkey.cw_tr, dtype=np.uint32).ravel(),
+        np.asarray(dkey.fcw_mask, dtype=np.uint32).ravel(),
+        np.asarray(dkey.rk_masks, dtype=np.uint32).ravel(),
+    ]
+    payload = np.concatenate(parts)
+    assert payload.shape[0] == layout.total
+    return payload, layout
+
+
+def unpack_key_payload(payload, layout: PayloadLayout):
+    """Device-side inverse of pack_key_payload (jnp slicing, jit-free)."""
+    nw0, d = layout.nw0, layout.d_levels
+    sizes = layout.sizes
+    offs = np.cumsum((0,) + sizes)
+    seg = [payload[offs[i]:offs[i + 1]] for i in range(len(sizes))]
+    return (
+        seg[0].reshape(8, 16, nw0),
+        seg[1],
+        seg[2].reshape(d, 8, 16, 1),
+        seg[3],
+        seg[4],
+        seg[5][0],
+        seg[6].reshape(11, 8, 16, 3, 1),
+    )
+
+
+def make_key_payload(
+    server: dpf_host.Dpf, key: dpf_host.Key2P, height: int, min_device_nodes: int = 32
+):
+    """Host keygen-to-payload shortcut: returns (payload, layout) or a
+    host-bits DeviceKey2P for tiny domains."""
+    dkey = make_device_key(server, key, height, min_device_nodes)
+    if dkey.host_bits is not None:
+        return dkey, None
+    return pack_key_payload(dkey)
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,57 @@ def make_answer_fn(d_levels: int):
     return functools.partial(answer_query, d_levels=d_levels)
 
 
+@functools.lru_cache(maxsize=64)
+def fused_answer_fn(layout):
+    """One-dispatch server answer: jit(table, payload, perm) -> (C,) uint32.
+
+    `layout` is a dpf.device.PayloadLayout; the per-query key material
+    arrives as a single packed uint32 vector (one host->device transfer).
+    """
+    from ..dpf.device import unpack_key_payload
+
+    def fn(table, payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_key_payload(payload, layout)
+        return answer_query(
+            table, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, perm,
+            d_levels=layout.d_levels,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_bits_fn(layout):
+    """One-dispatch expansion: jit(payload, perm) -> (rows,) uint8 bits."""
+    from ..dpf.device import unpack_key_payload
+
+    def fn(payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_key_payload(payload, layout)
+        return expand_bits_planes(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, perm, d_levels=layout.d_levels
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_answer_batch_fn(layout):
+    """Batched one-dispatch answers: jit(table, payloads (Q, L), perm) -> (Q, C)."""
+    from ..dpf.device import unpack_key_payload
+
+    def one(table, payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_key_payload(payload, layout)
+        return answer_query(
+            table, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, perm,
+            d_levels=layout.d_levels,
+        )
+
+    def fn(table, payloads, perm):
+        return jax.vmap(lambda p: one(table, p, perm))(payloads)
+
+    return jax.jit(fn)
+
+
 def batched_answer(table, keys, *, d_levels: int):
     """vmap over a batch of queries sharing one table.
 

@@ -100,6 +100,7 @@ class TpuPirServer:
         self.min_device_nodes = min_device_nodes
         self._tables: dict[int, tuple] = {}
         self._kw_planes: dict[int, object] = {}
+        self._perms: dict[tuple, object] = {}
 
     def _table(self, group_size: int):
         import jax.numpy as jnp
@@ -111,6 +112,31 @@ class TpuPirServer:
             tbl = pack_table_u32(self.db.data, h, group_size)
             self._tables[group_size] = (jnp.asarray(tbl), h)
         return self._tables[group_size]
+
+    def _perm(self, num_bits: int, height: int):
+        """Device-resident leaf permutation, shared across queries."""
+        import jax.numpy as jnp
+
+        from .dpf.device import _leaf_perm
+
+        key = (num_bits, height, self.min_device_nodes)
+        if key not in self._perms:
+            self._perms[key] = jnp.asarray(
+                _leaf_perm(num_bits, height, self.min_device_nodes)
+            )
+        return self._perms[key]
+
+    def _index_payload(self, query: QueryShare, height: int):
+        from .dpf.device import make_device_key, pack_key_payload
+
+        pf = _server_dpf(self.db, query)
+        dkey = make_device_key(
+            pf, query.key_two_party, height, self.min_device_nodes
+        )
+        if dkey.host_bits is not None:
+            return None, None, dkey
+        payload, layout = pack_key_payload(dkey)
+        return payload, layout, dkey
 
     def expand_shared_query(self, query: QueryShare):
         """Device DPF expansion -> (H,) uint8 bits (device array)."""
@@ -147,6 +173,49 @@ class TpuPirServer:
             self.db.slot_bytes, [Slot(out[c].tobytes()) for c in range(out.shape[0])]
         )
 
+    def _result_from_words(self, res_words, group_size: int) -> SecretSharedQueryResult:
+        from .ops.scan import unpack_result_u32
+
+        out = unpack_result_u32(np.asarray(res_words), group_size, self.db.slot_bytes)
+        return SecretSharedQueryResult(
+            self.db.slot_bytes, [Slot(out[c].tobytes()) for c in range(out.shape[0])]
+        )
+
     def private_secret_shared_query(self, query: QueryShare) -> SecretSharedQueryResult:
+        """Single-dispatch fused expand+scan for 2-party index queries;
+        falls back to expand-then-scan for keyword/multi-party/tiny cases."""
+        from .models.pipeline import fused_answer_fn
+
+        table, h = self._table(query.group_size)
+        if query.is_two_party and not query.is_keyword_based:
+            payload, layout, dkey = self._index_payload(query, h)
+            if payload is not None:
+                res = fused_answer_fn(layout)(
+                    table, payload, self._perm(dkey.plan.num_bits, h)
+                )
+                return self._result_from_words(res, query.group_size)
         bits = self.expand_shared_query(query)
         return self.private_secret_shared_query_with_expanded_bits(query, bits)
+
+    def private_secret_shared_query_batch(
+        self, queries: list[QueryShare]
+    ) -> list[SecretSharedQueryResult]:
+        """Answer a batch of same-shape index queries in one dispatch."""
+        from .models.pipeline import fused_answer_batch_fn
+
+        g = queries[0].group_size
+        table, h = self._table(g)
+        payloads, layout, num_bits = [], None, None
+        for query in queries:
+            if query.group_size != g or not query.is_two_party or query.is_keyword_based:
+                raise ValueError("batch requires uniform 2-party index queries")
+            p, lo, dkey = self._index_payload(query, h)
+            if p is None:
+                raise ValueError("database too small for batched device path")
+            payloads.append(p)
+            layout, num_bits = lo, dkey.plan.num_bits
+        res = fused_answer_batch_fn(layout)(
+            table, np.stack(payloads), self._perm(num_bits, h)
+        )
+        res = np.asarray(res)
+        return [self._result_from_words(res[i], g) for i in range(len(queries))]
