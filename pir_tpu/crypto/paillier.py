@@ -1,0 +1,344 @@
+"""Two-level (nested) Paillier cryptosystem with DDLEQ proofs.
+
+Re-implements, from its call-surface (SURVEY.md §2.9), the external
+``sachaservan/paillier`` dependency the reference consumes: generalized
+Damgård–Jurik encryption at levels s=1 (mod N^2) and s=2 (mod N^3, whose
+plaintext space Z_{N^2} holds a level-1 ciphertext — "nested" Paillier),
+homomorphic Add/ConstMult, nested subtraction/randomization, randomness
+extraction, and a zero-knowledge re-randomization proof ("DDLEQ").
+
+Implementation notes / design divergences (documented deliberately):
+
+* The DDLEQ proof here is a Fiat–Shamir cut-and-choose sigma protocol
+  (binary challenges, ``8*secparam`` repetitions) proving knowledge of
+  (a, b) with ct2 = ct1^(a^N) * b^(N^2) mod N^3 — i.e. ct2 re-randomizes
+  ct1 at both levels without changing the inner plaintext (the N-th-
+  residue exponent a^N preserves it). The reference's proof object is not
+  visible in-tree; only its prove/verify call shape is, which this
+  matches (aspir.go:156-158, 195).
+* Arithmetic uses CPython bignums (pow); the C accelerator in
+  pir_tpu/native offloads the hot modexps when built.
+
+The TPU is deliberately not involved: bignum modexp does not map onto the
+MXU/VPU (SURVEY.md §7 design stance); cPIR remains host-resident.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import secrets
+from dataclasses import dataclass
+
+# Encryption levels (paillier.EncLevelOne / EncLevelTwo in the reference)
+ENC_LEVEL_ONE = 1
+ENC_LEVEL_TWO = 2
+
+
+@dataclass
+class Ciphertext:
+    c: int
+    level: int = ENC_LEVEL_ONE
+
+
+@dataclass
+class DDLEQProof:
+    commitments: list[int]
+    responses: list[tuple[int, int]]  # per-rep opening, meaning depends on bit
+    secparam: int
+
+
+# --------------------------------------------------------------------------
+# Prime generation (Miller-Rabin)
+# --------------------------------------------------------------------------
+
+_SMALL_PRIMES = [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+                 59, 61, 67, 71, 73, 79, 83, 89, 97]
+
+
+def _is_probable_prime(n: int, rounds: int = 40) -> bool:
+    if n < 2:
+        return False
+    for p in _SMALL_PRIMES:
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for _ in range(rounds):
+        a = secrets.randbelow(n - 3) + 2
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _random_prime(bits: int) -> int:
+    while True:
+        p = secrets.randbits(bits) | (1 << (bits - 1)) | 1
+        if _is_probable_prime(p):
+            return p
+
+
+# --------------------------------------------------------------------------
+# Keys
+# --------------------------------------------------------------------------
+
+class PublicKey:
+    def __init__(self, n: int):
+        self.n = n
+        self.n2 = n * n
+        self.n3 = self.n2 * n
+
+    # -- helpers --
+
+    def _mod(self, level: int) -> int:
+        return self.n2 if level == ENC_LEVEL_ONE else self.n3
+
+    def _g_pow(self, m: int, level: int) -> int:
+        """(1+N)^m via the binomial shortcut (exact mod N^{level+1})."""
+        n = self.n
+        if level == ENC_LEVEL_ONE:
+            return (1 + m * n) % self.n2
+        m = m % self.n2
+        return (1 + m * n + (m * (m - 1) // 2) * n * n) % self.n3
+
+    def random_r(self) -> int:
+        while True:
+            r = secrets.randbelow(self.n)
+            if r > 0:
+                return r
+
+    # -- encryption (query.go:137-139, 195-197; db.go:455-457) --
+
+    def encrypt_with_r_at_level(self, m: int, r: int, level: int) -> Ciphertext:
+        mod = self._mod(level)
+        exp = self.n if level == ENC_LEVEL_ONE else self.n2
+        c = self._g_pow(m, level) * pow(r, exp, mod) % mod
+        return Ciphertext(c, level)
+
+    def encrypt_at_level(self, m: int, level: int) -> Ciphertext:
+        return self.encrypt_with_r_at_level(m, self.random_r(), level)
+
+    def encrypt(self, m: int) -> Ciphertext:
+        return self.encrypt_at_level(m, ENC_LEVEL_ONE)
+
+    def encrypt_zero(self, level: int = ENC_LEVEL_ONE) -> Ciphertext:
+        return self.encrypt_at_level(0, level)
+
+    def encrypt_one(self, level: int = ENC_LEVEL_ONE) -> Ciphertext:
+        return self.encrypt_at_level(1, level)
+
+    def null_ciphertext(self, level: int) -> Ciphertext:
+        """Enc(0; r=1): the additive identity (db.go:448-457)."""
+        return self.encrypt_with_r_at_level(0, 1, level)
+
+    # -- homomorphic ops (db.go:245-246, 334-335) --
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        assert a.level == b.level
+        mod = self._mod(a.level)
+        return Ciphertext(a.c * b.c % mod, a.level)
+
+    def const_mult(self, ct: Ciphertext, k: int) -> Ciphertext:
+        mod = self._mod(ct.level)
+        return Ciphertext(pow(ct.c, k, mod), ct.level)
+
+    def nested_sub(self, chal: Ciphertext, token: Ciphertext) -> Ciphertext:
+        """Level-2 ct whose inner level-1 ct is divided by token.c.
+
+        Subtracts the token's plaintext from the inner encryption
+        (aspir.go:117-118, 187): Enc2(c1) -> Enc2(c1 * token.c^-1 mod N^2).
+        """
+        assert chal.level == ENC_LEVEL_TWO and token.level == ENC_LEVEL_ONE
+        k = pow(token.c, -1, self.n2)
+        return self.const_mult(chal, k)
+
+    # -- DDLEQ verification --
+
+    def verify_ddleq(self, ct1: Ciphertext, ct2: Ciphertext, proof: DDLEQProof) -> bool:
+        n, n2, n3 = self.n, self.n2, self.n3
+        reps = len(proof.commitments)
+        if reps < 8 * proof.secparam:
+            return False
+        bits = _fs_challenge_bits(self.n, ct1.c, ct2.c, proof.commitments, reps)
+        for i, (t_i, bit) in enumerate(zip(proof.commitments, bits)):
+            x, y = proof.responses[i]
+            if not (0 < y < n3):
+                return False
+            if bit == 0:
+                # opening w.r.t. ct2: T = ct2^(u^N) * v^(N^2)
+                e = pow(x, n, n2)
+                want = pow(ct2.c, e, n3) * pow(y, n2, n3) % n3
+            else:
+                # opening w.r.t. ct1: T = ct1^(z^N) * w^(N^2)
+                e = pow(x, n, n2)
+                want = pow(ct1.c, e, n3) * pow(y, n2, n3) % n3
+            if want != t_i:
+                return False
+        return True
+
+
+class SecretKey(PublicKey):
+    def __init__(self, p: int, q: int):
+        super().__init__(p * q)
+        self.p = p
+        self.q = q
+        self.lam = (p - 1) * (q - 1) // _gcd(p - 1, q - 1)
+        # decryption constant for level 1: (L((1+N)^lam mod N^2))^-1 mod N
+        u = pow(1 + self.n, self.lam, self.n2)
+        self.mu1 = pow((u - 1) // self.n, -1, self.n)
+        self.inv_lam_n2 = pow(self.lam, -1, self.n2)
+        self.inv_n_lam = pow(self.n % self.lam, -1, self.lam)
+        self.inv_n2_lam = pow((self.n2) % self.lam, -1, self.lam)
+
+    @property
+    def public_key(self) -> PublicKey:
+        return PublicKey(self.n)
+
+    # -- decryption --
+
+    def decrypt(self, ct: Ciphertext) -> int:
+        assert ct.level == ENC_LEVEL_ONE
+        u = pow(ct.c, self.lam, self.n2)
+        return (u - 1) // self.n * self.mu1 % self.n
+
+    def _dj_log(self, a: int, s: int) -> int:
+        """Extract i from (1+N)^i mod N^{s+1} (Damgård–Jurik, Thm 1)."""
+        n = self.n
+        i = 0
+        for j in range(1, s + 1):
+            nj = n ** j
+            nj1 = nj * n
+            t1 = ((a % nj1) - 1) // n  # in Z_{n^j}
+            t2 = i
+            kfact = 1
+            for k in range(2, j + 1):
+                i = i - 1
+                t2 = t2 * i % nj
+                kfact *= k
+                t1 = (t1 - t2 * (n ** (k - 1)) * pow(kfact, -1, nj)) % nj
+            i = t1
+        return i
+
+    def decrypt_level2(self, ct: Ciphertext) -> int:
+        assert ct.level == ENC_LEVEL_TWO
+        u = pow(ct.c, self.lam, self.n3)
+        i = self._dj_log(u, 2)
+        return i * self.inv_lam_n2 % self.n2
+
+    def decrypt_nested_layer(self, ct: Ciphertext) -> Ciphertext:
+        """Level-2 -> the inner level-1 ciphertext (aspir.go:166)."""
+        return Ciphertext(self.decrypt_level2(ct), ENC_LEVEL_ONE)
+
+    def nested_decrypt(self, ct: Ciphertext) -> int:
+        """query.go:325: peel both layers."""
+        return self.decrypt(self.decrypt_nested_layer(ct))
+
+    # -- randomness extraction (aspir.go:164-168) --
+
+    def extract_randomness(self, ct: Ciphertext) -> int:
+        if ct.level == ENC_LEVEL_ONE:
+            m = self.decrypt(ct)
+            rn = ct.c * pow(self._g_pow(m, 1), -1, self.n2) % self.n2
+            return pow(rn % self.n, self.inv_n_lam, self.n)
+        m2 = self.decrypt_level2(ct)
+        sn = ct.c * pow(self._g_pow(m2, 2), -1, self.n3) % self.n3
+        return pow(sn % self.n, self.inv_n2_lam, self.n)
+
+    # -- nested randomization + DDLEQ prove (aspir.go:156-158) --
+
+    def nested_randomize(self, ct: Ciphertext) -> tuple[Ciphertext, int, int]:
+        assert ct.level == ENC_LEVEL_TWO
+        a = self.random_r()
+        b = self.random_r()
+        alpha = pow(a, self.n, self.n2)
+        c2 = pow(ct.c, alpha, self.n3) * pow(b, self.n2, self.n3) % self.n3
+        return Ciphertext(c2, ENC_LEVEL_TWO), a, b
+
+    def prove_ddleq(
+        self, secparam: int, ct1: Ciphertext, ct2: Ciphertext, a: int, b: int
+    ) -> DDLEQProof:
+        """PoK{(a,b): ct2 = ct1^(a^N) * b^(N^2)} — see module docstring."""
+        n, n2, n3 = self.n, self.n2, self.n3
+        reps = 8 * secparam
+        us, vs, ts = [], [], []
+        alpha = pow(a, n, n2)
+        for _ in range(reps):
+            u = self.random_r()
+            v = self.random_r()
+            e = pow(u, n, n2)
+            t = pow(ct2.c, e, n3) * pow(v, n2, n3) % n3
+            us.append(u)
+            vs.append(v)
+            ts.append(t)
+        bits = _fs_challenge_bits(n, ct1.c, ct2.c, ts, reps)
+        responses = []
+        for u, v, bit in zip(us, vs, bits):
+            if bit == 0:
+                responses.append((u, v))
+            else:
+                z = a * u % n
+                e_u = pow(u, n, n2)
+                # T = ct2^(u^N) v^(N^2) = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2);
+                # fold the exponent overshoot (alpha*e_u - z^N mod N^2, a
+                # multiple of N^2) into the N^2-th power part.
+                z_pow = pow(z, n, n2)
+                delta = alpha * e_u - z_pow
+                assert delta % n2 == 0
+                w = (
+                    pow(b, e_u, n3)
+                    * v
+                    * pow(ct1.c, delta // n2, n3)
+                ) % n3
+                responses.append((z, w))
+        return DDLEQProof(ts, responses, secparam)
+
+
+def _fs_challenge_bits(n: int, c1: int, c2: int, commitments: list[int], reps: int):
+    h = hashlib.sha256()
+    for v in (n, c1, c2, *commitments):
+        b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+        h.update(len(b).to_bytes(4, "big"))
+        h.update(b)
+    digest = h.digest()
+    bits = []
+    counter = 0
+    while len(bits) < reps:
+        d = hashlib.sha256(digest + counter.to_bytes(4, "big")).digest()
+        for byte in d:
+            for k in range(8):
+                bits.append((byte >> k) & 1)
+        counter += 1
+    return bits[:reps]
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+def keygen(bits: int) -> tuple[SecretKey, PublicKey]:
+    """paillier.KeyGen(bits) -> (sk, pk); N is ~`bits` bits."""
+    while True:
+        p = _random_prime(bits // 2)
+        q = _random_prime(bits - bits // 2)
+        if p != q:
+            n = p * q
+            lam = (p - 1) * (q - 1) // _gcd(p - 1, q - 1)
+            if _gcd(n, lam) == 1:
+                break
+    sk = SecretKey(p, q)
+    return sk, sk.public_key
+
+
+def msg_space_bytes(pk: PublicKey) -> int:
+    """Bytes per plaintext chunk: len(N.Bytes()) - 2 (db.go:187)."""
+    return (pk.n.bit_length() + 7) // 8 - 2
