@@ -206,6 +206,11 @@ class SecretKey(PublicKey):
 
     def decrypt(self, ct: Ciphertext) -> int:
         assert ct.level == ENC_LEVEL_ONE
+        if ct.c == 0:
+            # all-zero nested queries produce inner value 0 (not a group
+            # element); the reference's gmp pipeline decrypts it to 0
+            # (db_test.go:159-196 relies on this), so mirror that.
+            return 0
         u = pow(ct.c, self.lam, self.n2)
         return (u - 1) // self.n * self.mu1 % self.n
 

@@ -1,0 +1,248 @@
+"""Single-server computational PIR under additively homomorphic Paillier.
+
+Client side (query.go:118-221, 299-334): the query is a vector of
+encryptions of 0/1 — a one-hot row indicator (and for recursive queries a
+second, level-2 one-hot column indicator). Server side (db.go:176-358):
+an encrypted selection, Σ_row Enc(bit_row)·slot_chunk, per column and
+chunk; the recursive variant re-selects over the level-1 ciphertexts with
+level-2 ConstMult/Add.
+
+Host-resident by design: Paillier modexp does not map onto TPU compute
+units (SURVEY.md §7); the native C accelerator (pir_tpu/native) offloads
+the modexps when built.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from .crypto.paillier import (
+    ENC_LEVEL_ONE,
+    ENC_LEVEL_TWO,
+    Ciphertext,
+    PublicKey,
+    SecretKey,
+    msg_space_bytes,
+)
+from .database import Database, DBMetadata
+from .slot import Slot
+
+
+@dataclass
+class EncryptedQuery:
+    """query.go:24-32."""
+
+    pk: PublicKey
+    ebits: list[Ciphertext]
+    group_size: int
+    db_width: int
+    db_height: int
+
+
+@dataclass
+class DoublyEncryptedQuery:
+    """query.go:34-39."""
+
+    row: EncryptedQuery
+    col: EncryptedQuery
+
+
+@dataclass
+class EncryptedSlot:
+    cts: list[Ciphertext]
+
+
+@dataclass
+class DoublyEncryptedSlot:
+    cts: list[Ciphertext]  # level-2 ciphertexts
+
+
+@dataclass
+class EncryptedQueryResult:
+    slots: list[EncryptedSlot]
+    pk: PublicKey
+    slot_bytes: int
+    num_bytes_per_ciphertext: int
+
+
+@dataclass
+class DoublyEncryptedQueryResult:
+    slots: list[DoublyEncryptedSlot]
+    pk: PublicKey
+    slot_bytes: int
+    num_bytes_per_ciphertext: int
+
+
+# --------------------------------------------------------------------------
+# Client: query generation
+# --------------------------------------------------------------------------
+
+def new_encrypted_query(
+    dbmd: DBMetadata, pk: PublicKey, group_size: int, index: int
+) -> EncryptedQuery:
+    """query.go:118-127: sqrt-grid default dimensions."""
+    height = int(math.ceil(math.sqrt(dbmd.db_size)))
+    width, height = dbmd.get_dimensions_for_database(height, group_size)
+    return new_encrypted_query_with_dimensions(pk, width, height, group_size, index)
+
+
+def new_encrypted_query_with_dimensions(
+    pk: PublicKey, width: int, height: int, group_size: int, index: int
+) -> EncryptedQuery:
+    """query.go:129-150: EBits one-hot at `index` (index -1 => all zeros)."""
+    ebits = [
+        pk.encrypt_one() if i == index else pk.encrypt_zero() for i in range(height)
+    ]
+    return EncryptedQuery(pk, ebits, group_size, width, height)
+
+
+def new_doubly_encrypted_query(
+    dbmd: DBMetadata, pk: PublicKey, group_size: int, index: int
+) -> DoublyEncryptedQuery:
+    """query.go:152-221."""
+    height = int(math.ceil(math.sqrt(dbmd.db_size)))
+    width, height = dbmd.get_dimensions_for_database(height, group_size)
+    return new_doubly_encrypted_query_with_dimensions(
+        dbmd, pk, width, height, group_size, index
+    )
+
+
+def new_doubly_encrypted_query_with_dimensions(
+    dbmd: DBMetadata, pk: PublicKey, width: int, height: int, group_size: int,
+    index: int,
+) -> DoublyEncryptedQuery:
+    row_index, col_index = dbmd.index_to_coordinates(index, width, height)
+    col_index //= group_size
+    if index == -1:
+        row_index = col_index = -1
+
+    row = [
+        pk.encrypt_one() if i == row_index else pk.encrypt_zero()
+        for i in range(height)
+    ]
+    grouped_width = width // group_size
+    col = [
+        pk.encrypt_one(ENC_LEVEL_TWO) if i == col_index
+        else pk.encrypt_zero(ENC_LEVEL_TWO)
+        for i in range(grouped_width)
+    ]
+    return DoublyEncryptedQuery(
+        row=EncryptedQuery(pk, row, group_size, width, height),
+        col=EncryptedQuery(pk, col, group_size, width, 1),
+    )
+
+
+def new_doubly_encrypted_null_query(
+    dbmd: DBMetadata, pk: PublicKey, group_size: int
+) -> DoublyEncryptedQuery:
+    """query.go:152-155: index -1 => all-zero (retrieves nothing)."""
+    return new_doubly_encrypted_query(dbmd, pk, group_size, -1)
+
+
+# --------------------------------------------------------------------------
+# Server: encrypted scans
+# --------------------------------------------------------------------------
+
+def private_encrypted_query(
+    db: Database, query: EncryptedQuery
+) -> EncryptedQueryResult:
+    """The AHE scan (db.go:176-271).
+
+    Slots are packed into ceil(slot_bytes / (|N|-2)) plaintext chunks;
+    answer[col][chunk] = Σ_row Enc(bit_row)·chunk(row, col).
+    """
+    pk = query.pk
+    dim_width, dim_height = query.db_width, query.db_height
+    num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
+
+    num_bytes_per_ciphertext = 0
+    slots = [
+        EncryptedSlot([pk.null_ciphertext(ENC_LEVEL_ONE) for _ in range(num_cts)])
+        for _ in range(dim_width)
+    ]
+    for row in range(dim_height):
+        ebit = query.ebits[row]
+        for col in range(dim_width):
+            slot_index = row * dim_width + col
+            if slot_index >= db.db_size:
+                continue
+            int_arr, per = db.slot(slot_index).to_int_array(num_cts)
+            if num_bytes_per_ciphertext == 0:
+                num_bytes_per_ciphertext = per
+            for j, val in enumerate(int_arr):
+                sel = pk.const_mult(ebit, val)
+                slots[col].cts[j] = pk.add(slots[col].cts[j], sel)
+
+    return EncryptedQueryResult(slots, pk, db.slot_bytes, num_bytes_per_ciphertext)
+
+
+def private_doubly_encrypted_query(
+    db: Database, query: DoublyEncryptedQuery
+) -> DoublyEncryptedQueryResult:
+    """db.go:273-292: row pass then column pass."""
+    if query.row.group_size > db.db_size or query.row.group_size == 0:
+        raise ValueError("invalid group size provided in query")
+    if query.col.group_size > query.row.db_width or query.col.group_size == 0:
+        raise ValueError("invalid group size provided in query")
+    row_res = private_encrypted_query(db, query.row)
+    return private_encrypted_query_over_encrypted_result(db, query.col, row_res)
+
+
+def private_encrypted_query_over_encrypted_result(
+    db: Database, query: EncryptedQuery, result: EncryptedQueryResult
+) -> DoublyEncryptedQueryResult:
+    """db.go:294-358: level-2 selection over level-1 ciphertext values."""
+    pk = query.pk
+    num_cts = len(result.slots[0].cts)
+    if len(result.slots) % query.group_size != 0:
+        raise ValueError("row has a size that is not a multiple of the group size")
+
+    res = [
+        [pk.null_ciphertext(ENC_LEVEL_TWO) for _ in range(num_cts)]
+        for _ in range(query.group_size)
+    ]
+    member = 0
+    for col in range(len(result.slots)):
+        if col % query.group_size == 0:
+            member = 0
+        bit_ct = query.ebits[col // query.group_size]
+        for j, slot_ct in enumerate(result.slots[col].cts):
+            sel = pk.const_mult(bit_ct, slot_ct.c)
+            res[member][j] = pk.add(res[member][j], sel)
+        member += 1
+
+    return DoublyEncryptedQueryResult(
+        [DoublyEncryptedSlot(cts) for cts in res],
+        pk,
+        db.slot_bytes,
+        result.num_bytes_per_ciphertext,
+    )
+
+
+# --------------------------------------------------------------------------
+# Client: recovery
+# --------------------------------------------------------------------------
+
+def recover_encrypted(res: EncryptedQueryResult, sk: SecretKey) -> list[Slot]:
+    """query.go:299-315."""
+    out = []
+    for eslot in res.slots:
+        arr = [sk.decrypt(ct) for ct in eslot.cts]
+        out.append(
+            Slot.from_int_array(arr, res.slot_bytes, res.num_bytes_per_ciphertext)
+        )
+    return out
+
+
+def recover_doubly_encrypted(
+    res: DoublyEncryptedQueryResult, sk: SecretKey
+) -> list[Slot]:
+    """query.go:317-334."""
+    out = []
+    for dslot in res.slots:
+        arr = [sk.nested_decrypt(ct) for ct in dslot.cts]
+        out.append(
+            Slot.from_int_array(arr, res.slot_bytes, res.num_bytes_per_ciphertext)
+        )
+    return out

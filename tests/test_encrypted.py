@@ -1,0 +1,114 @@
+"""Single-server cPIR tests, mirroring db_test.go:67-265.
+
+Key size 128 bits as in the reference tests (db_test.go:70 — tiny, test-
+only); query counts reduced for CI speed, assertions identical.
+"""
+
+import random
+
+import pytest
+
+from pir_tpu import encrypted as enc
+from pir_tpu.crypto.paillier import keygen
+from pir_tpu.database import generate_random_db
+from pir_tpu.slot import new_empty_slot
+
+TEST_DB_SIZE = 1 << 10
+TEST_DB_HEIGHT = 1 << 5
+SLOT_BYTES = 3
+NUM_QUERIES = 2
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return keygen(128)
+
+
+@pytest.fixture(scope="module")
+def db():
+    return generate_random_db(TEST_DB_SIZE, SLOT_BYTES)
+
+
+def test_encrypted_query(keys, db):
+    """db_test.go:67-113."""
+    sk, pk = keys
+    rng = random.Random(0)
+    for group_size in range(1, 5):
+        dim_width, dim_height = db.get_dimensions_for_database(
+            TEST_DB_HEIGHT, group_size
+        )
+        for _ in range(NUM_QUERIES):
+            q_index = rng.randrange(dim_height)
+            query = enc.new_encrypted_query(db.metadata(), pk, group_size, q_index)
+            response = enc.private_encrypted_query(db, query)
+            res = enc.recover_encrypted(response, sk)
+            assert len(res) % group_size == 0
+            for j in range(dim_width):
+                index = q_index * dim_width + j
+                if index >= db.db_size:
+                    break
+                assert db.slot(index).equal(res[j]), (group_size, q_index, j)
+
+
+def test_encrypted_null_query(keys, db):
+    """db_test.go:115-158: index -1 recovers all-zero slots."""
+    sk, pk = keys
+    for group_size in (1, 3):
+        dim_width, _ = db.get_dimensions_for_database(TEST_DB_HEIGHT, group_size)
+        query = enc.new_encrypted_query(db.metadata(), pk, group_size, -1)
+        response = enc.private_encrypted_query(db, query)
+        res = enc.recover_encrypted(response, sk)
+        empty = new_empty_slot(len(res[0].data))
+        for j in range(dim_width):
+            assert empty.equal(res[j])
+
+
+def test_doubly_encrypted_query(keys, db):
+    """db_test.go:197-265."""
+    sk, pk = keys
+    rng = random.Random(1)
+    for group_size in range(1, 5):
+        dim_width, dim_height = db.get_dimensions_for_database(
+            TEST_DB_HEIGHT, group_size
+        )
+        assert dim_width * dim_height <= db.db_size + dim_width
+
+        for _ in range(NUM_QUERIES):
+            q_index = rng.randrange(dim_width * dim_height) // group_size
+            query = enc.new_doubly_encrypted_query(
+                db.metadata(), pk, group_size, q_index
+            )
+            assert len(query.col.ebits) <= dim_width // group_size
+
+            response = enc.private_doubly_encrypted_query(db, query)
+            res = enc.recover_doubly_encrypted(response, sk)
+
+            row_index, col_index = db.index_to_coordinates(
+                q_index, dim_width, dim_height
+            )
+            col_index //= group_size
+            for j in range(group_size):
+                index = row_index * dim_width + col_index * group_size + j
+                if index >= db.db_size:
+                    break
+                assert db.slot(index).equal(res[j]), (group_size, q_index, j)
+
+
+def test_doubly_encrypted_null_query(keys, db):
+    """db_test.go:159-196."""
+    sk, pk = keys
+    for group_size in (1, 2):
+        query = enc.new_doubly_encrypted_null_query(db.metadata(), pk, group_size)
+        response = enc.private_doubly_encrypted_query(db, query)
+        res = enc.recover_doubly_encrypted(response, sk)
+        empty = new_empty_slot(len(res[0].data))
+        for col in range(group_size):
+            assert empty.equal(res[col])
+
+
+def test_invalid_group_sizes_raise(keys, db):
+    sk, pk = keys
+    query = enc.new_doubly_encrypted_query(db.metadata(), pk, 1, 0)
+    query.row.group_size = 0
+    with pytest.raises(ValueError):
+        enc.private_doubly_encrypted_query(db, query)
