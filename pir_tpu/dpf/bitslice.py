@@ -258,7 +258,7 @@ def sub_bytes(state):
 
 
 def shift_rows(state):
-    return jnp.take(state, SHIFT_ROWS_PERM, axis=1)
+    return jnp.take(state, SHIFT_ROWS_PERM, axis=-2)
 
 
 def _xtime(b):
@@ -267,8 +267,10 @@ def _xtime(b):
 
 
 def mix_columns(state):
-    s4 = state.reshape((8, 4, 4) + state.shape[2:])  # (bit, col, row, ...)
-    b = [[s4[k, :, r] for k in range(8)] for r in range(4)]  # b[r][bit] (4,...)
+    # byte axis (-2) viewed as (col, row); bytes i = 4c + r per FIPS-197
+    lead = state.shape[:-2]
+    s4 = state.reshape(lead + (4, 4) + state.shape[-1:])  # (..., col, row, NW)
+    b = [[s4[k, ..., r, :] for k in range(8)] for r in range(4)]  # b[r][bit]
     xt = [_xtime(b[r]) for r in range(4)]
     out_rows = []
     for r in range(4):
@@ -279,8 +281,8 @@ def mix_columns(state):
             ^ b[(r + 3) % 4][k]
             for k in range(8)
         ]
-        out_rows.append(jnp.stack(o, axis=0))  # (8, 4, ...)
-    out = jnp.stack(out_rows, axis=2)  # (8, 4, 4, ...) = (bit, col, row, ...)
+        out_rows.append(jnp.stack(o, axis=0))  # (8, ..., col, NW)
+    out = jnp.stack(out_rows, axis=-2)  # (8, ..., col, row, NW)
     return out.reshape(state.shape)
 
 
@@ -288,9 +290,11 @@ def aes_encrypt_planes(x, rk_masks):
     """Bitsliced AES-128 encryption.
 
     Args:
-      x: (8, 16, ...) uint32 plaintext planes.
-      rk_masks: (11, 8, 16, ...) uint32 round-key masks (0 / 0xFFFFFFFF),
-        broadcast-compatible with x.
+      x: (8, ..., 16, NW) uint32 plaintext planes — bit axis first, byte
+        axis second-to-last (so it lands in TPU sublanes), lanes last;
+        middle axes are free (PRF-slot, query-batch, ...).
+      rk_masks: (11, 8, ..., 16, 1-or-NW) uint32 round-key masks
+        (0 / 0xFFFFFFFF), broadcast-compatible with x.
     Returns ciphertext planes, shape = broadcast(x, rk_masks[0]).
     """
     state = x ^ rk_masks[0]

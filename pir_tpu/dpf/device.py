@@ -50,8 +50,12 @@ _FULL = np.uint32(0xFFFFFFFF)
 # --------------------------------------------------------------------------
 
 def _prf_triple(seeds, rk_masks):
-    """Bitsliced MMO PRG: seeds (8,16,NW) -> out (8,16,3,NW)."""
-    x = seeds[:, :, None, :]
+    """Bitsliced MMO PRG: seeds (8,16,NW) -> out (8,3,16,NW).
+
+    The PRF-slot axis sits *before* the byte axis so that (byte, lane)
+    occupy the TPU (sublane, lane) tile — full VPU utilisation.
+    """
+    x = seeds[:, None, :, :]
     enc = aes_encrypt_planes(x, rk_masks)
     return enc ^ x
 
@@ -59,15 +63,15 @@ def _prf_triple(seeds, rk_masks):
 def _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr):
     """Split PRF output into corrected (sL, tL, sR, tR).
 
-    out: (8,16,3,NW); t_plane: (NW,) packed parent t bits;
+    out: (8,3,16,NW); t_plane: (NW,) packed parent t bits;
     cw_seed_mask: (8,16,1) 0/~0 masks; cw_tl/cw_tr: scalar 0/~0 masks.
     Layout (dpf/client.go:99-116): sL = block0[0:16], tL = block1 byte0,
     sR = block1 bytes1..15 ++ block2 byte0, tR = block2 byte1.
     """
-    s_l = out[:, :, 0, :]
-    t_l = out[0, 0, 1, :]
-    s_r = jnp.concatenate([out[:, 1:16, 1, :], out[:, 0:1, 2, :]], axis=1)
-    t_r = out[0, 1, 2, :]
+    s_l = out[:, 0, :, :]
+    t_l = out[0, 1, 0, :]
+    s_r = jnp.concatenate([out[:, 1, 1:16, :], out[:, 2, 0:1, :]], axis=1)
+    t_r = out[0, 2, 1, :]
 
     corr = t_plane[None, None, :] & cw_seed_mask
     s_l = s_l ^ corr
@@ -172,7 +176,7 @@ class DeviceKey2P:
     cw_seed_masks: np.ndarray  # (d, 8, 16, 1)
     cw_tl: np.ndarray  # (d,)
     cw_tr: np.ndarray  # (d,)
-    rk_masks: np.ndarray  # (11, 8, 16, 3, 1)
+    rk_masks: np.ndarray  # (11, 8, 3, 16, 1)
     fcw_mask: np.ndarray  # scalar uint32
     perm: np.ndarray  # (height,) natural -> storage gather
     host_bits: np.ndarray | None  # fallback when device_levels == 0
@@ -201,9 +205,12 @@ def _cw_masks(key: dpf_host.Key2P, start: int):
 
 
 def prf_key_masks(server: dpf_host.Dpf) -> np.ndarray:
-    """(11, 8, 16, 3, 1) round-key masks for the first 3 fixed PRF keys."""
+    """(11, 8, 3, 16, 1) round-key masks for the first 3 fixed PRF keys.
+
+    Slot axis before byte axis — see _prf_triple."""
     rks = np.stack([key_schedule(c.key) for c in server.ciphers[:3]])
-    return key_masks(rks)[..., None]
+    m = key_masks(rks)  # (11, 8, 16, 3)
+    return np.ascontiguousarray(m.transpose(0, 1, 3, 2))[..., None]
 
 
 def make_device_key(
@@ -340,7 +347,7 @@ def unpack_key_payload(payload, layout: PayloadLayout):
         seg[3],
         seg[4],
         seg[5][0],
-        seg[6].reshape(11, 8, 16, 3, 1),
+        seg[6].reshape(11, 8, 3, 16, 1),
     )
 
 

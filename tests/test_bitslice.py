@@ -100,12 +100,15 @@ def test_key_masks_multi_slot_broadcast():
     ciphers = [EcbCipher(k.tobytes()) for k in keys]
     want = prf_blocks(blocks, ciphers, 3)  # (64, 3, 16)
 
-    planes = jnp.asarray(bs.blocks_to_planes(blocks))[:, :, None, :]  # (8,16,1,2)
+    planes = jnp.asarray(bs.blocks_to_planes(blocks))[:, None, :, :]  # (8,1,16,2)
     rks = np.stack([key_schedule(k.tobytes()) for k in keys])  # (3, 11, 16)
-    rk_masks = jnp.asarray(bs.key_masks(rks)[..., None])  # (11, 8, 16, 3, 1)
-    enc = bs.aes_encrypt_planes(planes, rk_masks)  # (8, 16, 3, 2)
+    # slot axis before byte axis (see device._prf_triple)
+    rk_masks = jnp.asarray(
+        np.ascontiguousarray(bs.key_masks(rks).transpose(0, 1, 3, 2))[..., None]
+    )  # (11, 8, 3, 16, 1)
+    enc = bs.aes_encrypt_planes(planes, rk_masks)  # (8, 3, 16, 2)
     out = enc ^ planes  # MMO: AES_k(x) ^ x
 
     for s in range(3):
-        got = bs.planes_to_blocks(np.asarray(out)[:, :, s, :], 64)
+        got = bs.planes_to_blocks(np.asarray(out)[:, s, :, :], 64)
         assert (got == want[:, s, :]).all(), s
