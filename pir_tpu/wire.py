@@ -1,0 +1,135 @@
+"""Wire format for queries, shares, and results.
+
+The reference leaves serialization implicit (plain Go structs; SURVEY.md
+§5 checkpoint note). This defines the explicit binary format used by the
+service shell: little-endian, length-prefixed, versioned.
+
+Layout of a two-party DPF key mirrors the reference's implicit structure
+(dpf/common.go:29-35): SInit(16) ‖ TInit(1) ‖ num_bits(u16) ‖
+CW[num_bits]·18 ‖ FinalCW(i64).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .dpf.host import Key2P, PrfKey
+from .query import QueryShare, SecretSharedQueryResult
+from .slot import Slot
+
+MAGIC = b"PIRT"
+VERSION = 1
+
+MSG_QUERY_SHARE = 1
+MSG_SHARED_RESULT = 2
+MSG_METADATA = 3
+
+
+def _header(msg_type: int) -> bytes:
+    return MAGIC + struct.pack("<BB", VERSION, msg_type)
+
+
+def _check_header(buf: memoryview, msg_type: int) -> memoryview:
+    if bytes(buf[:4]) != MAGIC:
+        raise ValueError("bad magic")
+    version, mt = struct.unpack_from("<BB", buf, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported version {version}")
+    if mt != msg_type:
+        raise ValueError(f"expected message type {msg_type}, got {mt}")
+    return buf[6:]
+
+
+# ---- Key2P ----
+
+def serialize_key2p(key: Key2P) -> bytes:
+    num_bits = len(key.cw)
+    parts = [bytes(key.s_init), struct.pack("<BH", key.t_init, num_bits)]
+    for cw in key.cw:
+        assert len(cw) == 18
+        parts.append(bytes(cw))
+    parts.append(struct.pack("<q", key.final_cw))
+    return b"".join(parts)
+
+
+def deserialize_key2p(buf: memoryview) -> tuple[Key2P, int]:
+    s_init = bytes(buf[:16])
+    t_init, num_bits = struct.unpack_from("<BH", buf, 16)
+    off = 19
+    cw = []
+    for _ in range(num_bits):
+        cw.append(bytes(buf[off:off + 18]))
+        off += 18
+    (final_cw,) = struct.unpack_from("<q", buf, off)
+    off += 8
+    return Key2P(s_init, t_init, cw, final_cw), off
+
+
+# ---- QueryShare ----
+
+def serialize_query_share(qs: QueryShare) -> bytes:
+    if not qs.is_two_party:
+        raise NotImplementedError(
+            "multi-party query shares are not serializable (keygen is a "
+            "stub in the reference, dpf/client.go:152-156)"
+        )
+    flags = (1 if qs.is_keyword_based else 0) | 2  # bit1: two-party
+    head = _header(MSG_QUERY_SHARE) + struct.pack(
+        "<BBI", flags, qs.share_number, qs.group_size
+    )
+    prf = b"".join(bytes(k.bytes) for k in qs.prf_keys)
+    assert len(prf) == 64
+    return head + prf + serialize_key2p(qs.key_two_party)
+
+
+def deserialize_query_share(data: bytes) -> QueryShare:
+    buf = _check_header(memoryview(data), MSG_QUERY_SHARE)
+    flags, share_number, group_size = struct.unpack_from("<BBI", buf, 0)
+    off = 6
+    prf_keys = [PrfKey(bytes(buf[off + 16 * i:off + 16 * (i + 1)])) for i in range(4)]
+    off += 64
+    key, _ = deserialize_key2p(buf[off:])
+    return QueryShare(
+        key_two_party=key,
+        key_multi_party=None,
+        prf_keys=prf_keys,
+        is_keyword_based=bool(flags & 1),
+        is_two_party=True,
+        share_number=share_number,
+        group_size=group_size,
+    )
+
+
+# ---- SecretSharedQueryResult ----
+
+def serialize_shared_result(res: SecretSharedQueryResult) -> bytes:
+    head = _header(MSG_SHARED_RESULT) + struct.pack(
+        "<II", res.slot_bytes, len(res.shares)
+    )
+    body = b"".join(bytes(s.data) for s in res.shares)
+    return head + body
+
+
+def deserialize_shared_result(data: bytes) -> SecretSharedQueryResult:
+    buf = _check_header(memoryview(data), MSG_SHARED_RESULT)
+    slot_bytes, n = struct.unpack_from("<II", buf, 0)
+    off = 8
+    shares = []
+    for _ in range(n):
+        shares.append(Slot(bytes(buf[off:off + slot_bytes])))
+        off += slot_bytes
+    return SecretSharedQueryResult(slot_bytes, shares)
+
+
+# ---- DBMetadata ----
+
+def serialize_metadata(slot_bytes: int, db_size: int) -> bytes:
+    return _header(MSG_METADATA) + struct.pack("<IQ", slot_bytes, db_size)
+
+
+def deserialize_metadata(data: bytes) -> tuple[int, int]:
+    buf = _check_header(memoryview(data), MSG_METADATA)
+    slot_bytes, db_size = struct.unpack_from("<IQ", buf, 0)
+    return slot_bytes, db_size

@@ -1,0 +1,50 @@
+"""Wire-format round-trips and the TCP service shell end-to-end."""
+
+import random
+
+from pir_tpu import wire
+from pir_tpu.database import generate_random_db
+from pir_tpu.query import new_index_query_shares
+from pir_tpu.service import PirClient, PirService
+from pir_tpu.slot import Slot
+
+
+def test_query_share_roundtrip():
+    db = generate_random_db(512, 4)
+    shares = new_index_query_shares(db.metadata(), 100, 2, 2)
+    for s in shares:
+        data = wire.serialize_query_share(s)
+        back = wire.deserialize_query_share(data)
+        assert back.share_number == s.share_number
+        assert back.group_size == s.group_size
+        assert back.is_two_party and not back.is_keyword_based
+        assert back.key_two_party.s_init == s.key_two_party.s_init
+        assert back.key_two_party.t_init == s.key_two_party.t_init
+        assert back.key_two_party.cw == s.key_two_party.cw
+        assert back.key_two_party.final_cw == s.key_two_party.final_cw
+        assert [k.bytes for k in back.prf_keys] == [k.bytes for k in s.prf_keys]
+
+
+def test_metadata_roundtrip():
+    data = wire.serialize_metadata(7, 1 << 30)
+    assert wire.deserialize_metadata(data) == (7, 1 << 30)
+
+
+def test_service_end_to_end():
+    """Two non-colluding services + client retrieval over TCP."""
+    rng = random.Random(0)
+    db = generate_random_db(1 << 9, 8)
+    s0 = PirService(db).start()
+    s1 = PirService(db).start()
+    try:
+        client = PirClient([s0.address, s1.address])
+        assert client.metadata.db_size == db.db_size
+        for _ in range(3):
+            idx = rng.randrange(db.db_size)
+            res = client.query_index(idx)
+            assert Slot(db.data[idx].tobytes()).equal(res[0])
+        client.close()
+        assert s0.metrics["queries"] == 3
+    finally:
+        s0.close()
+        s1.close()
