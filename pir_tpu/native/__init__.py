@@ -1,0 +1,106 @@
+"""ctypes loader (with on-demand build) for the native CPU PIR engine."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libpirnative.so")
+_SRC = os.path.join(_DIR, "pir_native.cpp")
+_lock = threading.Lock()
+_lib = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library if needed; returns the .so path."""
+    with _lock:
+        if force or not os.path.exists(_SO) or (
+            os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-maes", "-mavx2", "-shared", "-fPIC",
+                 _SRC, "-o", _SO + ".tmp"],
+                check=True, capture_output=True,
+            )
+            os.replace(_SO + ".tmp", _SO)
+    return _SO
+
+
+def available() -> bool:
+    try:
+        return load() is not None
+    except Exception:
+        return False
+
+
+def load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(build())
+    lib.pir_expand_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint8,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_void_p,
+    ]
+    lib.pir_eval_point_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint8,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p,
+    ]
+    lib.pir_scan_xor.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def _key_blobs(query_share):
+    key = query_share.key_two_party
+    prf = b"".join(bytes(k.bytes) for k in query_share.prf_keys)
+    cw = b"".join(bytes(c) for c in key.cw)
+    return prf, key, cw
+
+
+def expand_bits(query_share, num_bits: int, height: int) -> np.ndarray:
+    """Native full-domain expansion -> (height,) uint8 selection bits."""
+    lib = load()
+    prf, key, cw = _key_blobs(query_share)
+    out = np.empty(height, dtype=np.uint8)
+    lib.pir_expand_bits(
+        prf, num_bits, key.s_init, key.t_init, cw, key.final_cw,
+        height, out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def eval_point_bits(query_share, num_bits: int, points: np.ndarray) -> np.ndarray:
+    lib = load()
+    prf, key, cw = _key_blobs(query_share)
+    pts = np.ascontiguousarray(points, dtype=np.uint64)
+    out = np.empty(len(pts), dtype=np.uint8)
+    lib.pir_eval_point_bits(
+        prf, num_bits, key.s_init, key.t_init, cw, key.final_cw,
+        pts.ctypes.data_as(ctypes.c_void_p), len(pts),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def scan_xor(db_rows: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """db_rows (H, row_bytes) uint8, bits (H,) uint8 -> (row_bytes,) uint8."""
+    lib = load()
+    db_rows = np.ascontiguousarray(db_rows)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    out = np.empty(db_rows.shape[1], dtype=np.uint8)
+    lib.pir_scan_xor(
+        db_rows.ctypes.data_as(ctypes.c_void_p), db_rows.shape[0],
+        db_rows.shape[1], bits.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

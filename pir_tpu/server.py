@@ -88,6 +88,50 @@ def private_secret_shared_query(
     return private_secret_shared_query_with_expanded_bits(db, query, bits)
 
 
+class NativePirServer:
+    """CPU serving engine backed by the C++/AES-NI library (pir_tpu.native).
+
+    Same query semantics as the host and TPU engines; used where no
+    accelerator is attached (and as the client-side keygen's natural
+    peer). Requires g++ at first use (builds on demand).
+    """
+
+    def __init__(self, db: Database):
+        from . import native
+
+        native.load()
+        self.db = db
+
+    def expand_shared_query(self, query: QueryShare) -> np.ndarray:
+        from . import native
+        from .utils.bits import num_bits_for_height
+
+        h = self.db.db_size // query.group_size
+        if not query.is_two_party:
+            raise NotImplementedError("multi-party keygen is a reference stub")
+        if query.is_keyword_based:
+            return native.eval_point_bits(query, 32, self.db.keywords[:h])
+        return native.expand_bits(query, num_bits_for_height(h), h)
+
+    def private_secret_shared_query_with_expanded_bits(
+        self, query: QueryShare, bits: np.ndarray
+    ) -> SecretSharedQueryResult:
+        from . import native
+
+        g = query.group_size
+        h = self.db.db_size // g
+        rows = self.db.data[: h * g].reshape(h, g * self.db.slot_bytes)
+        out = native.scan_xor(rows, bits)
+        sb = self.db.slot_bytes
+        return SecretSharedQueryResult(
+            sb, [Slot(out[c * sb:(c + 1) * sb].tobytes()) for c in range(g)]
+        )
+
+    def private_secret_shared_query(self, query: QueryShare) -> SecretSharedQueryResult:
+        bits = self.expand_shared_query(query)
+        return self.private_secret_shared_query_with_expanded_bits(query, bits)
+
+
 class TpuPirServer:
     """Device-resident PIR server: DB uploaded once, queries answered on TPU.
 

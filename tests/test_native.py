@@ -1,0 +1,51 @@
+"""Native C++/AES-NI engine vs the host golden model (bit-for-bit)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pir_tpu import query as q
+from pir_tpu import server as srv
+from pir_tpu.database import generate_random_db
+
+native = pytest.importorskip("pir_tpu.native")
+if not native.available():
+    pytest.skip("native engine unavailable (no g++/AES-NI)", allow_module_level=True)
+
+from pir_tpu.server import NativePirServer  # noqa: E402
+
+
+def test_native_expand_matches_host():
+    rng = random.Random(0)
+    for height in (64, 1000, 1 << 12):
+        db = generate_random_db(height, 5)
+        shares = q.new_index_query_shares(db.metadata(), rng.randrange(height), 1, 2)
+        for s in shares:
+            host_bits = srv.expand_shared_query(db, s)
+            nat_bits = NativePirServer(db).expand_shared_query(s)
+            assert (host_bits == nat_bits.astype(bool)).all(), height
+
+
+def test_native_full_query_roundtrip():
+    rng = random.Random(1)
+    db = generate_random_db(1 << 10, 24)
+    server = NativePirServer(db)
+    for group_size in (1, 4):
+        dim_height = db.db_size // group_size
+        idx = rng.randrange(dim_height)
+        shares = q.new_index_query_shares(db.metadata(), idx, group_size, 2)
+        res = q.recover([server.private_secret_shared_query(s) for s in shares])
+        for j in range(group_size):
+            assert db.slot(idx * group_size + j).equal(res[j])
+
+
+def test_native_keyword_mode():
+    rng = random.Random(2)
+    db = generate_random_db(512, 6)
+    db.set_keywords(np.array(rng.sample(range(1 << 32), 512), dtype=np.uint64))
+    server = NativePirServer(db)
+    row = rng.randrange(512)
+    shares = q.new_keyword_query_shares(db.metadata(), int(db.keywords[row]), 1, 2)
+    res = q.recover([server.private_secret_shared_query(s) for s in shares])
+    assert db.slot(row).equal(res[0])
