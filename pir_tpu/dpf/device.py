@@ -295,6 +295,121 @@ def expand_query_bits(dkey: DeviceKey2P) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Fast mode (early-termination DPF): device arrays + leaf stage
+# --------------------------------------------------------------------------
+
+@dataclass
+class DeviceFastKey2P:
+    """Device-ready arrays for a fast-mode (bit-output) DPF share."""
+
+    plan: ExpandPlan  # over *leaves* (each leaf = 128 rows)
+    height: int
+    seeds0: np.ndarray
+    t0: np.ndarray
+    cw_seed_masks: np.ndarray
+    cw_tl: np.ndarray
+    cw_tr: np.ndarray
+    fcw_masks: np.ndarray  # (8, 16, 1) masks of the 128-bit final CW
+    rk_masks: np.ndarray  # (11, 8, 3, 16, 1) tree PRF keys
+    rk_leaf: np.ndarray  # (11, 8, 16, 1) output-layer PRF key (key 3)
+    perm: np.ndarray  # (height,) natural row -> flat bit position
+    host_bits: np.ndarray | None
+
+
+def _block_masks(block: bytes) -> np.ndarray:
+    b = np.frombuffer(block, dtype=np.uint8)
+    bits = ((b[None, :] >> np.arange(8, dtype=np.uint8)[:, None]) & 1).astype(np.uint32)
+    return (bits * _FULL)[:, :, None]  # (8, 16, 1)
+
+
+@functools.lru_cache(maxsize=64)
+def _fast_leaf_perm(depth: int, height: int, m_padded: int) -> np.ndarray:
+    """Natural row -> flat index into the unpacked (8,16,NW*32) bit tensor."""
+    nw32 = (m_padded << depth) if depth else m_padded
+    r = np.arange(height, dtype=np.int64)
+    leaf = r >> 7
+    within = r & 127
+    byte_i = within >> 3
+    bit_k = within & 7
+    s = leaf >> depth
+    local = leaf & ((1 << depth) - 1)
+    rev = np.zeros_like(local)
+    for b in range(depth):
+        rev |= ((local >> b) & 1) << (depth - 1 - b)
+    pos = rev * m_padded + s
+    return (bit_k * 16 + byte_i) * nw32 + pos
+
+
+def make_device_fast_key(
+    server: dpf_host.Dpf,
+    fkey: "dpf_host.FastKey2P",
+    min_device_nodes: int = 32,
+) -> DeviceFastKey2P:
+    n_leaves = -(-fkey.height // dpf_host.LEAF_BITS)
+    plan = make_plan(fkey.depth, n_leaves, min_device_nodes)
+
+    # host prefix over the (depth, n_leaves) tree
+    tree_key = dpf_host.Key2P(fkey.s_init, fkey.t_init, fkey.cw, 0)
+    saved = server.num_bits
+    server.num_bits = fkey.depth
+    seeds, t_bits = _host_prefix(server, tree_key, plan)
+    server.num_bits = saved
+
+    if plan.device_levels == 0 and plan.host_levels == fkey.depth:
+        blocks = dpf_host._leaf_block(server, seeds)
+        fcw = np.frombuffer(fkey.final_cw_block, dtype=np.uint8)
+        blocks = blocks ^ fcw[None, :] * t_bits[:, None]
+        bits = np.unpackbits(blocks, axis=1, bitorder="little").reshape(-1)
+        return DeviceFastKey2P(plan, fkey.height, None, None, None, None, None,
+                               None, None, None, None,
+                               bits[: fkey.height].astype(np.uint8))
+
+    pad = plan.m_padded - seeds.shape[0]
+    if pad:
+        seeds = np.concatenate([seeds, np.zeros((pad, 16), dtype=np.uint8)])
+        t_bits = np.concatenate([t_bits, np.zeros(pad, dtype=np.uint8)])
+
+    rk_leaf = key_masks(key_schedule(server.ciphers[3].key)[None])  # (11,8,16,1)
+    cw_seed_masks, tl, tr = _cw_masks_list(fkey.cw[plan.host_levels:])
+    return DeviceFastKey2P(
+        plan=plan,
+        height=fkey.height,
+        seeds0=blocks_to_planes(seeds),
+        t0=_pack_t(t_bits, plan.m_padded),
+        cw_seed_masks=cw_seed_masks,
+        cw_tl=tl,
+        cw_tr=tr,
+        fcw_masks=_block_masks(fkey.final_cw_block),
+        rk_masks=prf_key_masks(server),
+        rk_leaf=rk_leaf,
+        perm=_fast_leaf_perm(plan.device_levels, fkey.height, plan.m_padded),
+        host_bits=None,
+    )
+
+
+def _cw_masks_list(cws: list[bytes]):
+    d = len(cws)
+    seed_masks = np.zeros((d, 8, 16, 1), dtype=np.uint32)
+    tl = np.zeros(d, dtype=np.uint32)
+    tr = np.zeros(d, dtype=np.uint32)
+    for i, cw in enumerate(cws):
+        seed_masks[i] = _block_masks(cw[:16])
+        tl[i] = _FULL if cw[16] & 1 else 0
+        tr[i] = _FULL if cw[17] & 1 else 0
+    return seed_masks, tl, tr
+
+
+def fast_leaf_bits(seeds, t_plane, fcw_masks, rk_leaf, perm):
+    """Leaf stage: seeds (8,16,NW) -> (height,) uint8 natural-order bits."""
+    enc = aes_encrypt_planes(seeds, rk_leaf)
+    out = (enc ^ seeds) ^ (t_plane[None, None, :] & fcw_masks)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,16,NW,32)
+    flat = bits.reshape(-1).astype(jnp.uint8)
+    return jnp.take(flat, perm, axis=0)
+
+
+# --------------------------------------------------------------------------
 # Packed key payloads — one upload per query instead of seven
 # --------------------------------------------------------------------------
 # The axon/TPU dispatch latency dominates small-query serving, so all
@@ -360,6 +475,55 @@ def make_key_payload(
     if dkey.host_bits is not None:
         return dkey, None
     return pack_key_payload(dkey)
+
+
+@dataclass(frozen=True)
+class FastPayloadLayout:
+    nw0: int
+    d_levels: int
+    height: int
+
+    @property
+    def sizes(self):
+        nw0, d = self.nw0, self.d_levels
+        return (128 * nw0, nw0, d * 128, d, d, 128, 11 * 8 * 3 * 16, 11 * 8 * 16)
+
+    @property
+    def total(self):
+        return sum(self.sizes)
+
+
+def pack_fast_payload(dk: DeviceFastKey2P) -> tuple[np.ndarray, FastPayloadLayout]:
+    layout = FastPayloadLayout(dk.plan.m_padded // 32, dk.plan.device_levels, dk.height)
+    parts = [
+        np.asarray(dk.seeds0, np.uint32).ravel(),
+        np.asarray(dk.t0, np.uint32).ravel(),
+        np.asarray(dk.cw_seed_masks, np.uint32).ravel(),
+        np.asarray(dk.cw_tl, np.uint32).ravel(),
+        np.asarray(dk.cw_tr, np.uint32).ravel(),
+        np.asarray(dk.fcw_masks, np.uint32).ravel(),
+        np.asarray(dk.rk_masks, np.uint32).ravel(),
+        np.asarray(dk.rk_leaf, np.uint32).ravel(),
+    ]
+    payload = np.concatenate(parts)
+    assert payload.shape[0] == layout.total
+    return payload, layout
+
+
+def unpack_fast_payload(payload, layout: FastPayloadLayout):
+    nw0, d = layout.nw0, layout.d_levels
+    offs = np.cumsum((0,) + layout.sizes)
+    seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
+    return (
+        seg[0].reshape(8, 16, nw0),
+        seg[1],
+        seg[2].reshape(d, 8, 16, 1),
+        seg[3],
+        seg[4],
+        seg[5].reshape(8, 16, 1),
+        seg[6].reshape(11, 8, 3, 16, 1),
+        seg[7].reshape(11, 8, 16, 1),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -111,6 +111,72 @@ def fused_answer_batch_fn(layout):
     return jax.jit(fn)
 
 
+def _expand_planes_loop(seeds, t_plane, cw_s, cw_tl, cw_tr, rk, d_levels: int):
+    from ..dpf.device import _children, _prf_triple
+
+    for i in range(d_levels):
+        out = _prf_triple(seeds, rk)
+        s_l, t_l, s_r, t_r = _children(out, t_plane, cw_s[i], cw_tl[i], cw_tr[i])
+        seeds = jnp.concatenate([s_l, s_r], axis=-1)
+        t_plane = jnp.concatenate([t_l, t_r], axis=-1)
+    return seeds, t_plane
+
+
+@functools.lru_cache(maxsize=64)
+def fused_fast_bits_fn(layout):
+    """Fast-mode expansion: jit(payload, perm) -> (height,) uint8 bits."""
+    from ..dpf.device import fast_leaf_bits, unpack_fast_payload
+
+    def fn(payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        return fast_leaf_bits(seeds, t, fcw, rk_leaf, perm)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_fast_answer_fn(layout):
+    """Fast-mode one-dispatch answer: jit(table, payload, perm) -> (C,)."""
+    from ..dpf.device import fast_leaf_bits, unpack_fast_payload
+
+    def fn(table, payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        bits = fast_leaf_bits(seeds, t, fcw, rk_leaf, perm)
+        mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+        return xor_reduce(table & mask, axis=0)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_fast_answer_batch_fn(layout):
+    """Batched fast answers: jit(table, payloads (Q, L), perm) -> (Q, C)."""
+    from ..dpf.device import fast_leaf_bits, unpack_fast_payload
+
+    def one(table, payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        bits = fast_leaf_bits(seeds, t, fcw, rk_leaf, perm)
+        mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+        return xor_reduce(table & mask, axis=0)
+
+    def fn(table, payloads, perm):
+        return jax.vmap(lambda p: one(table, p, perm))(payloads)
+
+    return jax.jit(fn)
+
+
 def batched_answer(table, keys, *, d_levels: int):
     """vmap over a batch of queries sharing one table.
 

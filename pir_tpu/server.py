@@ -40,6 +40,9 @@ def _server_dpf(db: Database, query: QueryShare) -> dpf_host.Dpf:
 def expand_shared_query(db: Database, query: QueryShare) -> np.ndarray:
     """Host expansion of the DPF into per-row selection bits (db.go:109-174)."""
     dim_height = db.db_size // query.group_size
+    if query.key_fast is not None:
+        pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
+        return dpf_host.eval_full_domain_fast_bits(pf, query.key_fast)
     pf = _server_dpf(db, query)
     if not query.is_two_party:
         vals = np.array(
@@ -109,6 +112,12 @@ class NativePirServer:
         h = self.db.db_size // query.group_size
         if not query.is_two_party:
             raise NotImplementedError("multi-party keygen is a reference stub")
+        if query.key_fast is not None:
+            # early-termination mode: host evaluator (C++ fast path TBD)
+            pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
+            return dpf_host.eval_full_domain_fast_bits(pf, query.key_fast).astype(
+                np.uint8
+            )
         if query.is_keyword_based:
             return native.eval_point_bits(query, 32, self.db.keywords[:h])
         return native.expand_bits(query, num_bits_for_height(h), h)
@@ -171,8 +180,20 @@ class TpuPirServer:
         return self._perms[key]
 
     def _index_payload(self, query: QueryShare, height: int):
-        from .dpf.device import make_device_key, pack_key_payload
+        from .dpf.device import (
+            make_device_fast_key,
+            make_device_key,
+            pack_fast_payload,
+            pack_key_payload,
+        )
 
+        if query.key_fast is not None:
+            pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
+            dkey = make_device_fast_key(pf, query.key_fast, self.min_device_nodes)
+            if dkey.host_bits is not None:
+                return None, None, dkey
+            payload, layout = pack_fast_payload(dkey)
+            return payload, layout, dkey
         pf = _server_dpf(self.db, query)
         dkey = make_device_key(
             pf, query.key_two_party, height, self.min_device_nodes
@@ -182,11 +203,32 @@ class TpuPirServer:
         payload, layout = pack_key_payload(dkey)
         return payload, layout, dkey
 
+    def _fast_perm(self, dkey):
+        """Device-resident fast-mode leaf permutation (shared per shape)."""
+        import jax.numpy as jnp
+
+        key = ("fast", dkey.plan.device_levels, dkey.height, dkey.plan.m_padded)
+        if key not in self._perms:
+            from .dpf.device import _fast_leaf_perm
+
+            self._perms[key] = jnp.asarray(
+                _fast_leaf_perm(dkey.plan.device_levels, dkey.height,
+                                dkey.plan.m_padded)
+            )
+        return self._perms[key]
+
     def expand_shared_query(self, query: QueryShare):
         """Device DPF expansion -> (H,) uint8 bits (device array)."""
         from .dpf import device as dev
 
         _, h = self._table(query.group_size)
+        if query.key_fast is not None:
+            payload, layout, dkey = self._index_payload(query, h)
+            if payload is None:
+                return dkey.host_bits
+            from .models.pipeline import fused_fast_bits_fn
+
+            return fused_fast_bits_fn(layout)(payload, self._fast_perm(dkey))
         pf = _server_dpf(self.db, query)
         if not query.is_two_party:
             raise NotImplementedError(
@@ -228,11 +270,16 @@ class TpuPirServer:
     def private_secret_shared_query(self, query: QueryShare) -> SecretSharedQueryResult:
         """Single-dispatch fused expand+scan for 2-party index queries;
         falls back to expand-then-scan for keyword/multi-party/tiny cases."""
-        from .models.pipeline import fused_answer_fn
+        from .models.pipeline import fused_answer_fn, fused_fast_answer_fn
 
         table, h = self._table(query.group_size)
         if query.is_two_party and not query.is_keyword_based:
             payload, layout, dkey = self._index_payload(query, h)
+            if payload is not None and query.key_fast is not None:
+                res = fused_fast_answer_fn(layout)(
+                    table, payload, self._fast_perm(dkey)
+                )
+                return self._result_from_words(res, query.group_size)
             if payload is not None:
                 res = fused_answer_fn(layout)(
                     table, payload, self._perm(dkey.plan.num_bits, h)
@@ -245,21 +292,33 @@ class TpuPirServer:
         self, queries: list[QueryShare]
     ) -> list[SecretSharedQueryResult]:
         """Answer a batch of same-shape index queries in one dispatch."""
-        from .models.pipeline import fused_answer_batch_fn
+        from .models.pipeline import (
+            fused_answer_batch_fn,
+            fused_fast_answer_batch_fn,
+        )
 
         g = queries[0].group_size
+        fast = queries[0].key_fast is not None
         table, h = self._table(g)
-        payloads, layout, num_bits = [], None, None
+        payloads, layout, last_dkey = [], None, None
         for query in queries:
             if query.group_size != g or not query.is_two_party or query.is_keyword_based:
                 raise ValueError("batch requires uniform 2-party index queries")
+            if (query.key_fast is not None) != fast:
+                raise ValueError("batch cannot mix fast and compat queries")
             p, lo, dkey = self._index_payload(query, h)
             if p is None:
-                raise ValueError("database too small for batched device path")
+                # tiny domain: no device expansion; answer individually
+                return [self.private_secret_shared_query(qq) for qq in queries]
             payloads.append(p)
-            layout, num_bits = lo, dkey.plan.num_bits
-        res = fused_answer_batch_fn(layout)(
-            table, np.stack(payloads), self._perm(num_bits, h)
-        )
+            layout, last_dkey = lo, dkey
+        if fast:
+            res = fused_fast_answer_batch_fn(layout)(
+                table, np.stack(payloads), self._fast_perm(last_dkey)
+            )
+        else:
+            res = fused_answer_batch_fn(layout)(
+                table, np.stack(payloads), self._perm(last_dkey.plan.num_bits, h)
+            )
         res = np.asarray(res)
         return [self._result_from_words(res[i], g) for i in range(len(queries))]

@@ -1,0 +1,83 @@
+"""Early-termination (fast-mode) DPF: host + device, end-to-end."""
+
+import random
+
+import numpy as np
+
+from pir_tpu import query as q
+from pir_tpu import server as srv
+from pir_tpu.database import generate_random_db
+from pir_tpu.dpf import device as dev
+from pir_tpu.dpf import host as dpf
+from pir_tpu.server import TpuPirServer
+
+
+def test_fast_bits_one_hot():
+    rng = random.Random(0)
+    for height in (50, 128, 1000, 4096, 5000):
+        target = rng.randrange(height)
+        client = dpf.client_initialize(dpf.fast_depth_for_height(height))
+        keys = dpf.generate_two_server_fast(client, target, height)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+        b0 = dpf.eval_full_domain_fast_bits(server, keys[0])
+        b1 = dpf.eval_full_domain_fast_bits(server, keys[1])
+        sel = b0 ^ b1
+        assert sel[target] and sel.sum() == 1, height
+
+
+def test_fast_device_matches_host():
+    rng = random.Random(1)
+    for height in (512, 1000, 16384):
+        target = rng.randrange(height)
+        client = dpf.client_initialize(dpf.fast_depth_for_height(height))
+        keys = dpf.generate_two_server_fast(client, target, height)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+        for snum in (0, 1):
+            want = dpf.eval_full_domain_fast_bits(server, keys[snum])
+            dkey = dev.make_device_fast_key(server, keys[snum])
+            if dkey.host_bits is not None:
+                got = dkey.host_bits.astype(bool)
+            else:
+                from pir_tpu.models.pipeline import fused_fast_bits_fn
+
+                payload, layout = dev.pack_fast_payload(dkey)
+                got = np.asarray(
+                    fused_fast_bits_fn(layout)(payload, dkey.perm)
+                ).astype(bool)
+            assert (got == want).all(), (height, snum)
+
+
+def test_fast_query_roundtrip_all_engines():
+    rng = random.Random(2)
+    db = generate_random_db(1 << 12, 16)
+    tpu = TpuPirServer(db)
+    for group_size in (1, 3):
+        dim_height = db.db_size // group_size
+        idx = rng.randrange(dim_height)
+        shares = q.new_index_query_shares(db.metadata(), idx, group_size, 2,
+                                          fast=True)
+        # host engine
+        res = q.recover([srv.private_secret_shared_query(db, s) for s in shares])
+        for j in range(group_size):
+            assert db.slot(idx * group_size + j).equal(res[j])
+        # TPU engine (single-dispatch fused)
+        res_t = q.recover([tpu.private_secret_shared_query(s) for s in shares])
+        for j in range(group_size):
+            assert db.slot(idx * group_size + j).equal(res_t[j])
+
+
+def test_fast_batched_queries():
+    rng = random.Random(3)
+    db = generate_random_db(1 << 13, 8)
+    tpu = TpuPirServer(db)
+    idxs = [rng.randrange(db.db_size) for _ in range(4)]
+    shares0, shares1 = [], []
+    for i in idxs:
+        ss = q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+        shares0.append(ss[0])
+        shares1.append(ss[1])
+    out0 = tpu.private_secret_shared_query_batch(shares0)
+    out1 = tpu.private_secret_shared_query_batch(shares1)
+    for k, i in enumerate(idxs):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(i).equal(res[0])
