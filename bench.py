@@ -38,8 +38,9 @@ def main():
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
     slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 32))
     reps = int(os.environ.get("BENCH_REPS", 4))
+    fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
     log(f"devices: {jax.devices()}")
     log(f"db: {height} rows x {slot_bytes} B = {height*slot_bytes/2**20:.0f} MiB, "
@@ -60,15 +61,16 @@ def main():
 
     # compile warm-up + correctness spot check
     t0 = time.perf_counter()
-    shares = q.new_index_query_shares(md, 123, 1, 2)
+    shares = q.new_index_query_shares(md, 123, 1, 2, fast=fast)
     res_a = server.private_secret_shared_query(shares[0])
     res_b = server.private_secret_shared_query(shares[1])
     rec = q.recover([res_a, res_b])
     assert Slot(db.data[123].tobytes()).equal(rec[0]), "recovery mismatch"
-    log(f"single-query warmup+check (incl. compile): {time.perf_counter()-t0:.1f}s")
+    log(f"single-query warmup+check (incl. compile): {time.perf_counter()-t0:.1f}s "
+        f"(mode={'fast' if fast else 'compat'})")
 
     # single-query latency
-    singles = [q.new_index_query_shares(md, int(i), 1, 2)[0]
+    singles = [q.new_index_query_shares(md, int(i), 1, 2, fast=fast)[0]
                for i in rng.integers(0, height, size=4)]
     lat = []
     for s in singles:
@@ -81,7 +83,8 @@ def main():
     # batched throughput
     def make_batch():
         idxs = rng.integers(0, height, size=batch)
-        return [q.new_index_query_shares(md, int(i), 1, 2)[0] for i in idxs], idxs
+        return [q.new_index_query_shares(md, int(i), 1, 2, fast=fast)[0]
+                for i in idxs], idxs
 
     bs, idxs = make_batch()
     t0 = time.perf_counter()
@@ -96,15 +99,10 @@ def main():
         times.append(time.perf_counter() - t0)
     bt = float(np.min(times))
 
-    # verify one batched answer end-to-end (share 0 vs host share semantics
-    # is covered in tests; here check shares recover with a fresh share 1)
-    s2 = q.new_index_query_shares(md, int(idxs[0]), 1, 2)
-
     table_bytes = height * (-(-slot_bytes // 4) * 4)
-    keygen_t = None
     t0 = time.perf_counter()
     for _ in range(8):
-        q.new_index_query_shares(md, 7, 1, 2)
+        q.new_index_query_shares(md, 7, 1, 2, fast=fast)
     keygen_t = (time.perf_counter() - t0) / 8
 
     gbps = batch * table_bytes / bt / 1e9

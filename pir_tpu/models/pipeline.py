@@ -177,6 +177,36 @@ def fused_fast_answer_batch_fn(layout):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def fused_fast_answer_batch_mxu_fn(layout, block: int = 2048):
+    """Batched fast answers with the MXU bit-plane scan.
+
+    jit(table_u8 (H_pad, B), payloads (Q, L), perm) -> (Q, B) uint8.
+    The table is streamed once per batch (vs once per query on the VPU
+    path); preferred for larger batches.
+    """
+    from ..dpf.device import fast_leaf_bits, unpack_fast_payload
+    from ..ops.matmul_scan import mxu_batched_scan
+
+    def bits_of(payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        return fast_leaf_bits(seeds, t, fcw, rk_leaf, perm)
+
+    def fn(table_u8, payloads, perm):
+        bits = jax.vmap(lambda p: bits_of(p, perm))(payloads)  # (Q, height)
+        h_pad = table_u8.shape[0]
+        pad = h_pad - bits.shape[1]
+        if pad:
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        return mxu_batched_scan(table_u8, bits, block=block)
+
+    return jax.jit(fn)
+
+
 def batched_answer(table, keys, *, d_levels: int):
     """vmap over a batch of queries sharing one table.
 

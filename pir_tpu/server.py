@@ -148,12 +148,32 @@ class TpuPirServer:
     expansion reuses jitted per-width level steps across queries.
     """
 
-    def __init__(self, db: Database, min_device_nodes: int = 32):
+    def __init__(self, db: Database, min_device_nodes: int = 32,
+                 mxu_batch_threshold: int = 8, mxu_block: int = 2048):
         self.db = db
         self.min_device_nodes = min_device_nodes
+        self.mxu_batch_threshold = mxu_batch_threshold
+        self.mxu_block = mxu_block
         self._tables: dict[int, tuple] = {}
+        self._tables_u8: dict[int, object] = {}
         self._kw_planes: dict[int, object] = {}
         self._perms: dict[tuple, object] = {}
+
+    def _table_u8(self, group_size: int):
+        """uint8 row-major table padded for the MXU bit-plane scan."""
+        import jax.numpy as jnp
+
+        from .ops.matmul_scan import pad_rows_u8
+
+        if group_size not in self._tables_u8:
+            h = self.db.db_size // group_size
+            rows = self.db.data[: h * group_size].reshape(
+                h, group_size * self.db.slot_bytes
+            )
+            self._tables_u8[group_size] = jnp.asarray(
+                pad_rows_u8(rows, self.mxu_block)
+            )
+        return self._tables_u8[group_size]
 
     def _table(self, group_size: int):
         import jax.numpy as jnp
@@ -312,6 +332,24 @@ class TpuPirServer:
                 return [self.private_secret_shared_query(qq) for qq in queries]
             payloads.append(p)
             layout, last_dkey = lo, dkey
+        if fast and len(queries) >= self.mxu_batch_threshold:
+            from .models.pipeline import fused_fast_answer_batch_mxu_fn
+
+            out = np.asarray(
+                fused_fast_answer_batch_mxu_fn(layout, self.mxu_block)(
+                    self._table_u8(g), np.stack(payloads),
+                    self._fast_perm(last_dkey)
+                )
+            )
+            sb = self.db.slot_bytes
+            return [
+                SecretSharedQueryResult(
+                    sb,
+                    [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                     for c in range(g)],
+                )
+                for i in range(len(queries))
+            ]
         if fast:
             res = fused_fast_answer_batch_fn(layout)(
                 table, np.stack(payloads), self._fast_perm(last_dkey)

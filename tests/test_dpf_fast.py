@@ -81,3 +81,21 @@ def test_fast_batched_queries():
     for k, i in enumerate(idxs):
         res = q.recover([out0[k], out1[k]])
         assert db.slot(i).equal(res[0])
+
+
+def test_fast_batched_queries_mxu_path():
+    """Batch >= threshold routes through the MXU bit-plane scan."""
+    rng = random.Random(4)
+    db = generate_random_db(1 << 13, 8)
+    tpu = TpuPirServer(db, mxu_batch_threshold=8, mxu_block=512)
+    idxs = [rng.randrange(db.db_size) for _ in range(8)]
+    shares0, shares1 = [], []
+    for i in idxs:
+        ss = q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+        shares0.append(ss[0])
+        shares1.append(ss[1])
+    out0 = tpu.private_secret_shared_query_batch(shares0)
+    out1 = tpu.private_secret_shared_query_batch(shares1)
+    for k, i in enumerate(idxs):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(i).equal(res[0]), (k, i)
