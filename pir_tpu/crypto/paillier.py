@@ -33,6 +33,28 @@ from dataclasses import dataclass
 ENC_LEVEL_ONE = 1
 ENC_LEVEL_TWO = 2
 
+# Native Montgomery modexp accelerator (pir_tpu/native/bigmod.cpp); falls
+# back to CPython pow if the C++ engine is unavailable.
+_native_powmod = None
+_native_tried = False
+
+
+def _powmod(b: int, e: int, m: int) -> int:
+    global _native_powmod, _native_tried
+    if e >= 0 and (m & 1) and m.bit_length() >= 256:
+        if not _native_tried:
+            _native_tried = True
+            try:
+                from ..native import powmod as np_
+
+                np_(3, 5, (1 << 255) | 1)  # triggers build; sanity check
+                _native_powmod = np_
+            except Exception:
+                _native_powmod = None
+        if _native_powmod is not None:
+            return _native_powmod(b, e, m)
+    return pow(b, e, m)
+
 
 @dataclass
 class Ciphertext:
@@ -120,7 +142,7 @@ class PublicKey:
     def encrypt_with_r_at_level(self, m: int, r: int, level: int) -> Ciphertext:
         mod = self._mod(level)
         exp = self.n if level == ENC_LEVEL_ONE else self.n2
-        c = self._g_pow(m, level) * pow(r, exp, mod) % mod
+        c = self._g_pow(m, level) * _powmod(r, exp, mod) % mod
         return Ciphertext(c, level)
 
     def encrypt_at_level(self, m: int, level: int) -> Ciphertext:
@@ -148,7 +170,7 @@ class PublicKey:
 
     def const_mult(self, ct: Ciphertext, k: int) -> Ciphertext:
         mod = self._mod(ct.level)
-        return Ciphertext(pow(ct.c, k, mod), ct.level)
+        return Ciphertext(_powmod(ct.c, k, mod), ct.level)
 
     def nested_sub(self, chal: Ciphertext, token: Ciphertext) -> Ciphertext:
         """Level-2 ct whose inner level-1 ct is divided by token.c.
@@ -174,12 +196,12 @@ class PublicKey:
                 return False
             if bit == 0:
                 # opening w.r.t. ct2: T = ct2^(u^N) * v^(N^2)
-                e = pow(x, n, n2)
-                want = pow(ct2.c, e, n3) * pow(y, n2, n3) % n3
+                e = _powmod(x, n, n2)
+                want = _powmod(ct2.c, e, n3) * _powmod(y, n2, n3) % n3
             else:
                 # opening w.r.t. ct1: T = ct1^(z^N) * w^(N^2)
-                e = pow(x, n, n2)
-                want = pow(ct1.c, e, n3) * pow(y, n2, n3) % n3
+                e = _powmod(x, n, n2)
+                want = _powmod(ct1.c, e, n3) * _powmod(y, n2, n3) % n3
             if want != t_i:
                 return False
         return True
@@ -211,7 +233,7 @@ class SecretKey(PublicKey):
             # element); the reference's gmp pipeline decrypts it to 0
             # (db_test.go:159-196 relies on this), so mirror that.
             return 0
-        u = pow(ct.c, self.lam, self.n2)
+        u = _powmod(ct.c, self.lam, self.n2)
         return (u - 1) // self.n * self.mu1 % self.n
 
     def _dj_log(self, a: int, s: int) -> int:
@@ -234,7 +256,7 @@ class SecretKey(PublicKey):
 
     def decrypt_level2(self, ct: Ciphertext) -> int:
         assert ct.level == ENC_LEVEL_TWO
-        u = pow(ct.c, self.lam, self.n3)
+        u = _powmod(ct.c, self.lam, self.n3)
         i = self._dj_log(u, 2)
         return i * self.inv_lam_n2 % self.n2
 
@@ -252,10 +274,10 @@ class SecretKey(PublicKey):
         if ct.level == ENC_LEVEL_ONE:
             m = self.decrypt(ct)
             rn = ct.c * pow(self._g_pow(m, 1), -1, self.n2) % self.n2
-            return pow(rn % self.n, self.inv_n_lam, self.n)
+            return _powmod(rn % self.n, self.inv_n_lam, self.n)
         m2 = self.decrypt_level2(ct)
         sn = ct.c * pow(self._g_pow(m2, 2), -1, self.n3) % self.n3
-        return pow(sn % self.n, self.inv_n2_lam, self.n)
+        return _powmod(sn % self.n, self.inv_n2_lam, self.n)
 
     # -- nested randomization + DDLEQ prove (aspir.go:156-158) --
 
@@ -263,8 +285,8 @@ class SecretKey(PublicKey):
         assert ct.level == ENC_LEVEL_TWO
         a = self.random_r()
         b = self.random_r()
-        alpha = pow(a, self.n, self.n2)
-        c2 = pow(ct.c, alpha, self.n3) * pow(b, self.n2, self.n3) % self.n3
+        alpha = _powmod(a, self.n, self.n2)
+        c2 = _powmod(ct.c, alpha, self.n3) * _powmod(b, self.n2, self.n3) % self.n3
         return Ciphertext(c2, ENC_LEVEL_TWO), a, b
 
     def prove_ddleq(
@@ -274,12 +296,12 @@ class SecretKey(PublicKey):
         n, n2, n3 = self.n, self.n2, self.n3
         reps = 8 * secparam
         us, vs, ts = [], [], []
-        alpha = pow(a, n, n2)
+        alpha = _powmod(a, n, n2)
         for _ in range(reps):
             u = self.random_r()
             v = self.random_r()
-            e = pow(u, n, n2)
-            t = pow(ct2.c, e, n3) * pow(v, n2, n3) % n3
+            e = _powmod(u, n, n2)
+            t = _powmod(ct2.c, e, n3) * _powmod(v, n2, n3) % n3
             us.append(u)
             vs.append(v)
             ts.append(t)
@@ -290,15 +312,15 @@ class SecretKey(PublicKey):
                 responses.append((u, v))
             else:
                 z = a * u % n
-                e_u = pow(u, n, n2)
+                e_u = _powmod(u, n, n2)
                 # T = ct2^(u^N) v^(N^2) = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2);
                 # fold the exponent overshoot (alpha*e_u - z^N mod N^2, a
                 # multiple of N^2) into the N^2-th power part.
-                z_pow = pow(z, n, n2)
+                z_pow = _powmod(z, n, n2)
                 delta = alpha * e_u - z_pow
                 assert delta % n2 == 0
                 w = (
-                    pow(b, e_u, n3)
+                    _powmod(b, e_u, n3)
                     * v
                     * pow(ct1.c, delta // n2, n3)
                 ) % n3

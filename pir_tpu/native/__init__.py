@@ -12,8 +12,11 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libpirnative.so")
 _SRC = os.path.join(_DIR, "pir_native.cpp")
+_BIGMOD_SO = os.path.join(_DIR, "libbigmod.so")
+_BIGMOD_SRC = os.path.join(_DIR, "bigmod.cpp")
 _lock = threading.Lock()
 _lib = None
+_bigmod = None
 
 
 def build(force: bool = False) -> str:
@@ -58,6 +61,47 @@ def load():
     ]
     _lib = lib
     return lib
+
+
+def load_bigmod():
+    """Montgomery modexp accelerator (Paillier hot path)."""
+    global _bigmod
+    if _bigmod is not None:
+        return _bigmod
+    with _lock:
+        if not os.path.exists(_BIGMOD_SO) or (
+            os.path.getmtime(_BIGMOD_SRC) > os.path.getmtime(_BIGMOD_SO)
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", _BIGMOD_SRC,
+                 "-o", _BIGMOD_SO + ".tmp"],
+                check=True, capture_output=True,
+            )
+            os.replace(_BIGMOD_SO + ".tmp", _BIGMOD_SO)
+    lib = ctypes.CDLL(_BIGMOD_SO)
+    lib.mg_powmod.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+    ]
+    _bigmod = lib
+    return lib
+
+
+def powmod(base: int, exp: int, mod: int) -> int:
+    """base^exp mod mod via the native Montgomery engine (odd mod only)."""
+    lib = load_bigmod()
+    n = (mod.bit_length() + 63) // 64
+    exp_n = max(1, (exp.bit_length() + 63) // 64)
+    b = np.frombuffer((base % mod).to_bytes(n * 8, "little"), dtype=np.uint64)
+    e = np.frombuffer(exp.to_bytes(exp_n * 8, "little"), dtype=np.uint64)
+    m = np.frombuffer(mod.to_bytes(n * 8, "little"), dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    lib.mg_powmod(
+        b.ctypes.data_as(ctypes.c_void_p), e.ctypes.data_as(ctypes.c_void_p),
+        exp_n, m.ctypes.data_as(ctypes.c_void_p), n,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return int.from_bytes(out.tobytes(), "little")
 
 
 def _key_blobs(query_share):
