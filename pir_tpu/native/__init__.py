@@ -55,6 +55,10 @@ def load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint64,
         ctypes.c_void_p,
     ]
+    lib.pir_expand_fast_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint8,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+    ]
     lib.pir_scan_xor.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
         ctypes.c_void_p,
@@ -132,6 +136,20 @@ def eval_point_bits(query_share, num_bits: int, points: np.ndarray) -> np.ndarra
         prf, num_bits, key.s_init, key.t_init, cw, key.final_cw,
         pts.ctypes.data_as(ctypes.c_void_p), len(pts),
         out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def expand_fast_bits(query_share) -> np.ndarray:
+    """Native early-termination expansion -> (height,) uint8 bits."""
+    lib = load()
+    key = query_share.key_fast
+    prf = b"".join(bytes(k.bytes) for k in query_share.prf_keys)
+    cw = b"".join(bytes(c) for c in key.cw)
+    out = np.empty(key.height, dtype=np.uint8)
+    lib.pir_expand_fast_bits(
+        prf, key.depth, key.s_init, key.t_init, cw, key.final_cw_block,
+        key.height, out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
 

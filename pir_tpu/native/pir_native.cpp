@@ -138,6 +138,77 @@ void pir_expand_bits(const uint8_t* prf_keys, uint32_t num_bits,
 }
 
 // ---------------------------------------------------------------------------
+// Fast-mode (early-termination) expansion: each leaf seed is expanded with
+// the 4th PRF key into a 128-bit block of selection bits (dpf/host.py).
+// ---------------------------------------------------------------------------
+
+void pir_expand_fast_bits(const uint8_t* prf_keys, uint32_t depth,
+                          const uint8_t* s_init, uint8_t t_init,
+                          const uint8_t* cw, const uint8_t* final_cw_block,
+                          uint64_t height, uint8_t* out_bits) {
+  AesKey k0, k1, k2, k3;
+  aes128_expand(prf_keys + 0, &k0);
+  aes128_expand(prf_keys + 16, &k1);
+  aes128_expand(prf_keys + 32, &k2);
+  aes128_expand(prf_keys + 48, &k3);
+
+  uint64_t n_leaves = (height + 127) >> 7;
+  std::vector<uint8_t> seeds(16), next_seeds;
+  std::vector<uint8_t> tbits(1, t_init), next_t;
+  memcpy(seeds.data(), s_init, 16);
+  uint64_t live = 1;
+
+  for (uint32_t lvl = 0; lvl < depth; lvl++) {
+    uint64_t shift = depth - lvl - 1;
+    uint64_t next_live = (n_leaves + ((1ull << shift) - 1)) >> shift;
+    if (next_live > 2 * live) next_live = 2 * live;
+    next_seeds.assign(2 * live * 16, 0);
+    next_t.assign(2 * live, 0);
+    const uint8_t* cw_l = cw + (size_t)lvl * 18;
+    __m128i cw_seed = _mm_loadu_si128((const __m128i*)cw_l);
+    uint8_t cw_tl = cw_l[16], cw_tr = cw_l[17];
+
+    for (uint64_t j = 0; j < live; j++) {
+      __m128i s = _mm_loadu_si128((const __m128i*)(seeds.data() + 16 * j));
+      __m128i e0 = _mm_xor_si128(aes128_enc(k0, s), s);
+      __m128i e1 = _mm_xor_si128(aes128_enc(k1, s), s);
+      __m128i e2 = _mm_xor_si128(aes128_enc(k2, s), s);
+      uint8_t b1[16], b2[16], srb[16];
+      _mm_storeu_si128((__m128i*)b1, e1);
+      _mm_storeu_si128((__m128i*)b2, e2);
+      uint8_t t = tbits[j];
+      __m128i corr = t ? cw_seed : _mm_setzero_si128();
+      __m128i sl = _mm_xor_si128(e0, corr);
+      memcpy(srb, b1 + 1, 15);
+      srb[15] = b2[0];
+      __m128i sr = _mm_xor_si128(_mm_loadu_si128((const __m128i*)srb), corr);
+      _mm_storeu_si128((__m128i*)(next_seeds.data() + 16 * (2 * j)), sl);
+      _mm_storeu_si128((__m128i*)(next_seeds.data() + 16 * (2 * j + 1)), sr);
+      next_t[2 * j] = (b1[0] & 1) ^ (t & cw_tl);
+      next_t[2 * j + 1] = (b2[1] & 1) ^ (t & cw_tr);
+    }
+    seeds.swap(next_seeds);
+    tbits.swap(next_t);
+    live = next_live;
+    seeds.resize(live * 16);
+    tbits.resize(live);
+  }
+
+  __m128i fcw = _mm_loadu_si128((const __m128i*)final_cw_block);
+  for (uint64_t L = 0; L < n_leaves && L < live; L++) {
+    __m128i s = _mm_loadu_si128((const __m128i*)(seeds.data() + 16 * L));
+    __m128i blk = _mm_xor_si128(aes128_enc(k3, s), s);
+    if (tbits[L]) blk = _mm_xor_si128(blk, fcw);
+    uint8_t bytes[16];
+    _mm_storeu_si128((__m128i*)bytes, blk);
+    uint64_t base = L << 7;
+    uint64_t count = height - base < 128 ? height - base : 128;
+    for (uint64_t i = 0; i < count; i++)
+      out_bits[base + i] = (bytes[i >> 3] >> (i & 7)) & 1;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Batched point evaluation (keyword mode, db.go:119-135)
 // ---------------------------------------------------------------------------
 

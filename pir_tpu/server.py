@@ -113,11 +113,7 @@ class NativePirServer:
         if not query.is_two_party:
             raise NotImplementedError("multi-party keygen is a reference stub")
         if query.key_fast is not None:
-            # early-termination mode: host evaluator (C++ fast path TBD)
-            pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
-            return dpf_host.eval_full_domain_fast_bits(pf, query.key_fast).astype(
-                np.uint8
-            )
+            return native.expand_fast_bits(query)
         if query.is_keyword_based:
             return native.eval_point_bits(query, 32, self.db.keywords[:h])
         return native.expand_bits(query, num_bits_for_height(h), h)

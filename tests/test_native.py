@@ -49,3 +49,23 @@ def test_native_keyword_mode():
     shares = q.new_keyword_query_shares(db.metadata(), int(db.keywords[row]), 1, 2)
     res = q.recover([server.private_secret_shared_query(s) for s in shares])
     assert db.slot(row).equal(res[0])
+
+
+def test_native_fast_expand_matches_host():
+    rng = random.Random(3)
+    from pir_tpu.dpf import host as dpf
+
+    for height in (200, 1 << 12, 5000):
+        target = rng.randrange(height)
+        client = dpf.client_initialize(dpf.fast_depth_for_height(height))
+        keys = dpf.generate_two_server_fast(client, target, height)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+        db = generate_random_db(height, 4)
+        nat = NativePirServer(db)
+        for snum in (0, 1):
+            want = dpf.eval_full_domain_fast_bits(server, keys[snum])
+            share = q.new_index_query_shares(db.metadata(), 0, 1, 2, fast=True)[0]
+            share.key_fast = keys[snum]
+            share.prf_keys = client.prf_keys
+            got = nat.expand_shared_query(share)
+            assert (got.astype(bool) == want).all(), (height, snum)
