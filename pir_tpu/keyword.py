@@ -68,6 +68,12 @@ class PrivateSqrtST:
 
         return srv.private_secret_shared_query(self.second_layer, query)
 
+    def private_encrypted_query(self, query):
+        """cPIR over the second layer (keyword.go:84-90)."""
+        from .encrypted import private_encrypted_query
+
+        return private_encrypted_query(self.second_layer, query)
+
     # ---- client-side lookup flow (demonstrated in keyword_test.go:58-95) ----
 
     def find_bucket(self, key: str) -> int:

@@ -135,6 +135,123 @@ def pad_table_rows(table: np.ndarray, total_rows: int) -> np.ndarray:
     return out
 
 
+@dataclass
+class ShardedFastKeyArrays:
+    """Fast-mode per-query arrays split into row shards (leaf tree split)."""
+
+    seeds: np.ndarray  # (D, 8, 16, NWs)
+    t: np.ndarray  # (D, NWs)
+    cw_seed_masks: np.ndarray  # (d, 8, 16, 1)
+    cw_tl: np.ndarray
+    cw_tr: np.ndarray
+    fcw_masks: np.ndarray  # (8, 16, 1)
+    rk_masks: np.ndarray  # (11, 8, 3, 16, 1)
+    rk_leaf: np.ndarray  # (11, 8, 16, 1)
+    d_levels: int
+    per_shard_nodes: int
+    rows_per_shard: int  # = per_shard_nodes * 2^d_levels * 128
+
+
+def make_sharded_fast_key(
+    server: dpf_host.Dpf, fkey, n_shards: int
+) -> ShardedFastKeyArrays:
+    """Split a fast-mode DPF share into per-row-shard subtree seed sets."""
+    from ..dpf.aes_host import key_schedule
+    from ..dpf.bitslice import key_masks
+    from ..dpf.device import ExpandPlan, _block_masks, _cw_masks_list
+
+    depth = fkey.depth
+    n_leaves = -(-fkey.height // dpf_host.LEAF_BITS)
+    min_nodes = 32 * n_shards
+    lvl, m = 0, 1
+    while lvl < depth and m < min_nodes:
+        lvl += 1
+        m = -(-n_leaves // (1 << (depth - lvl)))
+    if m < min_nodes:
+        raise ValueError(
+            f"height {fkey.height} too small to shard {n_shards} ways in fast "
+            f"mode (need >= {min_nodes * dpf_host.LEAF_BITS} rows)"
+        )
+    per_shard = -(-(-(-m // n_shards)) // 32) * 32
+    m_padded = per_shard * n_shards
+
+    plan = ExpandPlan(depth, n_leaves, lvl, m, m_padded, depth - lvl)
+    tree_key = dpf_host.Key2P(fkey.s_init, fkey.t_init, fkey.cw, 0)
+    saved = server.num_bits
+    server.num_bits = depth
+    seeds, t_bits = _host_prefix(server, tree_key, plan)
+    server.num_bits = saved
+    pad = m_padded - seeds.shape[0]
+    if pad:
+        seeds = np.concatenate([seeds, np.zeros((pad, 16), dtype=np.uint8)])
+        t_bits = np.concatenate([t_bits, np.zeros(pad, dtype=np.uint8)])
+
+    seed_planes = np.stack(
+        [blocks_to_planes(seeds[k * per_shard:(k + 1) * per_shard])
+         for k in range(n_shards)]
+    )
+    t_packed = np.stack(
+        [_pack_t(t_bits[k * per_shard:(k + 1) * per_shard], per_shard)
+         for k in range(n_shards)]
+    )
+    cw_seed_masks, tl, tr = _cw_masks_list(fkey.cw[lvl:])
+    rk_leaf = key_masks(key_schedule(server.ciphers[3].key)[None])
+    return ShardedFastKeyArrays(
+        seeds=seed_planes,
+        t=t_packed,
+        cw_seed_masks=cw_seed_masks,
+        cw_tl=tl,
+        cw_tr=tr,
+        fcw_masks=np.asarray(_block_masks(fkey.final_cw_block)),
+        rk_masks=np.asarray(prf_key_masks(server)),
+        rk_leaf=np.asarray(rk_leaf),
+        d_levels=depth - lvl,
+        per_shard_nodes=per_shard,
+        rows_per_shard=(per_shard << (depth - lvl)) * dpf_host.LEAF_BITS,
+    )
+
+
+def make_sharded_fast_answer_step(mesh: Mesh, d_levels: int):
+    """Fast-mode multi-chip batched answer step (tp=rows, dp=queries).
+
+    step(table (H_pad, C) P('tp',None),
+         seeds (D, Q, 8,16,NWs) P('tp','dp'), t (D, Q, NWs) P('tp','dp'),
+         cw_s/cw_tl/cw_tr/fcw/rk/rk_leaf (Q, ...) P('dp'),
+         perm (rows_per_shard,) replicated) -> (Q, C) uint32.
+    """
+    from ..dpf.device import fast_leaf_bits
+    from ..models.pipeline import _expand_planes_loop
+
+    def local(table_s, seeds_s, t_s, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf, perm):
+        seeds_s = seeds_s[0]
+        t_s = t_s[0]
+
+        def one(s, t, cs, ctl, ctr, f, r, rl):
+            s, t = _expand_planes_loop(s, t, cs, ctl, ctr, r, d_levels)
+            bits = fast_leaf_bits(s, t, f, rl, perm)
+            mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+            return xor_reduce(table_s & mask, axis=0)
+
+        partial = jax.vmap(one)(seeds_s, t_s, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf)
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("tp", None),
+            P("tp", "dp"),
+            P("tp", "dp"),
+            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+            P(),
+        ),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_answer_step(mesh: Mesh, d_levels: int):
     """Build the jitted multi-chip batched answer step.
 

@@ -66,3 +66,54 @@ def test_sharded_batched_answer_matches_host():
     for i in range(Q):
         got = unpack_result_u32(out[i], 1, slot_bytes)
         assert Slot(got[0].tobytes()).equal(hosts[i].shares[0]), i
+
+
+def test_sharded_fast_batched_answer_matches_host():
+    """Fast-mode (early-termination) sharded step on the virtual mesh."""
+    from pir_tpu.parallel.mesh import (
+        make_sharded_fast_answer_step,
+        make_sharded_fast_key,
+    )
+    from pir_tpu.dpf.device import _fast_leaf_perm
+
+    mesh = make_mesh(8, dp=2)
+    n_shards = mesh.shape["tp"]
+    height = 128 * 32 * n_shards  # >= 32 leaves per shard
+    slot_bytes = 8
+    db = generate_random_db(height, slot_bytes)
+
+    rng = random.Random(5)
+    Q = 4
+    shares, hosts = [], []
+    for _ in range(Q):
+        idx = rng.randrange(height)
+        ss = q.new_index_query_shares(db.metadata(), idx, 1, 2, fast=True)
+        shares.append(ss[1])
+        hosts.append(srv.private_secret_shared_query(db, ss[1]))
+
+    keys = []
+    for s in shares:
+        pf = dpf_host.server_initialize(s.prf_keys, s.key_fast.depth)
+        keys.append(make_sharded_fast_key(pf, s.key_fast, n_shards))
+    k0 = keys[0]
+
+    seeds = np.stack([k.seeds for k in keys], axis=1)
+    t = np.stack([k.t for k in keys], axis=1)
+    cw_s = np.stack([k.cw_seed_masks for k in keys])
+    cw_tl = np.stack([k.cw_tl for k in keys])
+    cw_tr = np.stack([k.cw_tr for k in keys])
+    fcw = np.stack([k.fcw_masks for k in keys])
+    rk = np.stack([k.rk_masks for k in keys])
+    rk_leaf = np.stack([k.rk_leaf for k in keys])
+    perm = _fast_leaf_perm(k0.d_levels, k0.rows_per_shard, k0.per_shard_nodes)
+
+    table = pack_table_u32(db.data, height, 1)
+    table = pad_table_rows(table, n_shards * k0.rows_per_shard)
+
+    step = make_sharded_fast_answer_step(mesh, k0.d_levels)
+    out = np.asarray(
+        step(table, seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf, perm)
+    )
+    for i in range(Q):
+        got = unpack_result_u32(out[i], 1, slot_bytes)
+        assert Slot(got[0].tobytes()).equal(hosts[i].shares[0]), i
