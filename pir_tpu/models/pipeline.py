@@ -207,6 +207,29 @@ def fused_fast_answer_batch_mxu_fn(layout, block: int = 2048):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def fused_fast_answer_batch_preplane_fn(layout):
+    """Batched fast answers against a precomputed bit-plane table:
+    jit(planes_i8 (H, 8B), payloads (Q, L), perm) -> (Q, B) uint8.
+    One MXU matmul per batch — the highest-throughput serving path."""
+    from ..dpf.device import fast_leaf_bits, unpack_fast_payload
+    from ..ops.matmul_scan import mxu_preplane_scan
+
+    def bits_of(payload, perm):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        return fast_leaf_bits(seeds, t, fcw, rk_leaf, perm)
+
+    def fn(planes_i8, payloads, perm):
+        bits = jax.vmap(lambda p: bits_of(p, perm))(payloads)
+        return mxu_preplane_scan(planes_i8, bits)
+
+    return jax.jit(fn)
+
+
 def batched_answer(table, keys, *, d_levels: int):
     """vmap over a batch of queries sharing one table.
 

@@ -52,6 +52,36 @@ def mxu_batched_scan(table_u8: jnp.ndarray, bits: jnp.ndarray, block: int = 2048
     return out
 
 
+def make_plane_table(table_u8: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
+    """Precompute the bit-plane table: (H, B) uint8 -> (H, B*8) int8.
+
+    Column index = byte*8 + bit. 8x the table memory; turns the batched
+    scan into a single (Q,H)x(H,8B) int8 MXU matmul per batch (the table
+    is then read once per batch with zero unpacking work).
+    """
+    h, b = table_u8.shape
+    out = np.empty((h, b * 8), dtype=np.int8)
+    shifts = np.arange(8, dtype=np.uint8)
+    for s in range(0, h, chunk):
+        e = min(h, s + chunk)
+        bits = (table_u8[s:e, :, None] >> shifts) & np.uint8(1)
+        out[s:e] = bits.reshape(e - s, b * 8)
+    return out
+
+
+@jax.jit
+def mxu_preplane_scan(planes_i8: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+    """planes (H, 8B) int8 (from make_plane_table), bits (Q, H) {0,1}
+    -> (Q, B) uint8 XOR-scan. Exact: int32 accumulation, H < 2^31."""
+    acc = jnp.dot(
+        bits.astype(jnp.int8), planes_i8, preferred_element_type=jnp.int32
+    )  # (Q, 8B)
+    q = acc.shape[0]
+    acc = acc.reshape(q, -1, 8) & 1  # (Q, B, 8)
+    shifts = np.arange(8, dtype=np.uint8)
+    return (acc.astype(jnp.uint8) << shifts).sum(axis=-1, dtype=jnp.uint8)
+
+
 def pad_rows_u8(table_u8: np.ndarray, block: int) -> np.ndarray:
     h = table_u8.shape[0]
     pad = (-h) % block

@@ -145,15 +145,36 @@ class TpuPirServer:
     """
 
     def __init__(self, db: Database, min_device_nodes: int = 32,
-                 mxu_batch_threshold: int = 8, mxu_block: int = 2048):
+                 mxu_batch_threshold: int = 8, mxu_block: int = 8192,
+                 plane_table_budget: int = 8 << 30):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
         self.mxu_block = mxu_block
+        self.plane_table_budget = plane_table_budget
+        self._plane_tables: dict[int, object] = {}
         self._tables: dict[int, tuple] = {}
         self._tables_u8: dict[int, object] = {}
         self._kw_planes: dict[int, object] = {}
         self._perms: dict[tuple, object] = {}
+
+    def _plane_table(self, group_size: int):
+        """Precomputed bit-plane table for the one-matmul batched scan,
+        or None if it would exceed the memory budget."""
+        if group_size in self._plane_tables:
+            return self._plane_tables[group_size]
+        h = self.db.db_size // group_size
+        row_bytes = group_size * self.db.slot_bytes
+        if h * row_bytes * 8 > self.plane_table_budget:
+            self._plane_tables[group_size] = None
+            return None
+        import jax.numpy as jnp
+
+        from .ops.matmul_scan import make_plane_table
+
+        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+        self._plane_tables[group_size] = jnp.asarray(make_plane_table(rows))
+        return self._plane_tables[group_size]
 
     def _table_u8(self, group_size: int):
         """uint8 row-major table padded for the MXU bit-plane scan."""
@@ -329,14 +350,24 @@ class TpuPirServer:
             payloads.append(p)
             layout, last_dkey = lo, dkey
         if fast and len(queries) >= self.mxu_batch_threshold:
-            from .models.pipeline import fused_fast_answer_batch_mxu_fn
+            planes = self._plane_table(g)
+            if planes is not None:
+                from .models.pipeline import fused_fast_answer_batch_preplane_fn
 
-            out = np.asarray(
-                fused_fast_answer_batch_mxu_fn(layout, self.mxu_block)(
-                    self._table_u8(g), np.stack(payloads),
-                    self._fast_perm(last_dkey)
+                out = np.asarray(
+                    fused_fast_answer_batch_preplane_fn(layout)(
+                        planes, np.stack(payloads), self._fast_perm(last_dkey)
+                    )
                 )
-            )
+            else:
+                from .models.pipeline import fused_fast_answer_batch_mxu_fn
+
+                out = np.asarray(
+                    fused_fast_answer_batch_mxu_fn(layout, self.mxu_block)(
+                        self._table_u8(g), np.stack(payloads),
+                        self._fast_perm(last_dkey)
+                    )
+                )
             sb = self.db.slot_bytes
             return [
                 SecretSharedQueryResult(

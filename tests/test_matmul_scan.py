@@ -28,3 +28,17 @@ def test_mxu_scan_padded_rows():
     for i in range(3):
         want = np.bitwise_xor.reduce(table[bits[i].astype(bool)], axis=0)
         assert (got[i] == want).all()
+
+
+def test_preplane_scan_matches_xor():
+    from pir_tpu.ops.matmul_scan import make_plane_table, mxu_preplane_scan
+
+    rng = np.random.default_rng(2)
+    h, b, q = 2048, 24, 4
+    table = rng.integers(0, 256, size=(h, b), dtype=np.uint8)
+    bits = rng.integers(0, 2, size=(q, h), dtype=np.uint8)
+    planes = make_plane_table(table, chunk=300)
+    got = np.asarray(mxu_preplane_scan(planes, bits))
+    for i in range(q):
+        want = np.bitwise_xor.reduce(table[bits[i].astype(bool)], axis=0)
+        assert (got[i] == want).all(), i
