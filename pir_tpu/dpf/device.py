@@ -399,14 +399,35 @@ def _cw_masks_list(cws: list[bytes]):
     return seed_masks, tl, tr
 
 
-def fast_leaf_bits(seeds, t_plane, fcw_masks, rk_leaf, perm):
-    """Leaf stage: seeds (8,16,NW) -> (height,) uint8 natural-order bits."""
+def fast_leaf_bits_flat(seeds, t_plane, fcw_masks, rk_leaf):
+    """Leaf stage without reordering: (8,16,NW) -> (128*NW*32,) uint8 bits
+    in *storage* order (index = (bit*16+byte)*NW*32 + leafpos)."""
     enc = aes_encrypt_planes(seeds, rk_leaf)
     out = (enc ^ seeds) ^ (t_plane[None, None, :] & fcw_masks)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,16,NW,32)
-    flat = bits.reshape(-1).astype(jnp.uint8)
-    return jnp.take(flat, perm, axis=0)
+    return bits.reshape(-1).astype(jnp.uint8)
+
+
+def fast_leaf_bits(seeds, t_plane, fcw_masks, rk_leaf, perm):
+    """Leaf stage: seeds (8,16,NW) -> (height,) uint8 natural-order bits.
+
+    The gather is expensive at serving scale; prefer fast_leaf_bits_flat
+    with a storage-ordered table (scatter_rows_to_storage_order)."""
+    return jnp.take(fast_leaf_bits_flat(seeds, t_plane, fcw_masks, rk_leaf),
+                    perm, axis=0)
+
+
+def scatter_rows_to_storage_order(rows: np.ndarray, perm: np.ndarray,
+                                  flat_size: int) -> np.ndarray:
+    """Permute table rows so storage-order bits scan them directly.
+
+    rows (H, C); perm (H,) natural row -> flat bit position. Positions not
+    covering a real row are zero (XOR-neutral). Returns (flat_size, C).
+    """
+    out = np.zeros((flat_size, rows.shape[1]), dtype=rows.dtype)
+    out[perm] = rows
+    return out
 
 
 # --------------------------------------------------------------------------

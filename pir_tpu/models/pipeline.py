@@ -208,6 +208,50 @@ def fused_fast_answer_batch_mxu_fn(layout, block: int = 2048):
 
 
 @functools.lru_cache(maxsize=64)
+def fused_fast_answer_batch_storage_fn(layout):
+    """Batched fast answers, storage-order: no per-query gather at all.
+
+    jit(planes_i8 (flat, 8B), payloads (Q, L)) -> (Q, B) uint8, where the
+    plane table rows were scattered into DPF storage order once at build
+    (dpf.device.scatter_rows_to_storage_order)."""
+    from ..dpf.device import fast_leaf_bits_flat, unpack_fast_payload
+    from ..ops.matmul_scan import mxu_preplane_scan
+
+    def bits_of(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        return fast_leaf_bits_flat(seeds, t, fcw, rk_leaf)
+
+    def fn(planes_i8, payloads):
+        bits = jax.vmap(bits_of)(payloads)  # (Q, flat)
+        return mxu_preplane_scan(planes_i8, bits)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_fast_answer_storage_fn(layout):
+    """Single-query fast answer, storage-order masked-XOR scan:
+    jit(table_u32 (flat, C), payload) -> (C,) uint32."""
+    from ..dpf.device import fast_leaf_bits_flat, unpack_fast_payload
+
+    def fn(table, payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = unpack_fast_payload(
+            payload, layout
+        )
+        seeds, t = _expand_planes_loop(seeds, t, cw_s, cw_tl, cw_tr, rk,
+                                       layout.d_levels)
+        bits = fast_leaf_bits_flat(seeds, t, fcw, rk_leaf)
+        mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+        return xor_reduce(table & mask, axis=0)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def fused_fast_answer_batch_preplane_fn(layout):
     """Batched fast answers against a precomputed bit-plane table:
     jit(planes_i8 (H, 8B), payloads (Q, L), perm) -> (Q, B) uint8.

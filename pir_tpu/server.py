@@ -153,6 +153,7 @@ class TpuPirServer:
         self.mxu_block = mxu_block
         self.plane_table_budget = plane_table_budget
         self._plane_tables: dict[int, object] = {}
+        self._storage_cache: dict[tuple, tuple] = {}
         self._tables: dict[int, tuple] = {}
         self._tables_u8: dict[int, object] = {}
         self._kw_planes: dict[int, object] = {}
@@ -175,6 +176,38 @@ class TpuPirServer:
         rows = self.db.data[: h * group_size].reshape(h, row_bytes)
         self._plane_tables[group_size] = jnp.asarray(make_plane_table(rows))
         return self._plane_tables[group_size]
+
+    def _storage_tables(self, group_size: int, dkey):
+        """Storage-ordered tables for the gather-free fast path: returns
+        (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
+        (group size, expansion geometry)."""
+        import jax.numpy as jnp
+
+        from .dpf.device import _fast_leaf_perm, scatter_rows_to_storage_order
+        from .ops.matmul_scan import make_plane_table
+
+        d, mp = dkey.plan.device_levels, dkey.plan.m_padded
+        key = (group_size, d, mp)
+        if key in self._storage_cache:
+            return self._storage_cache[key]
+        h = self.db.db_size // group_size
+        flat = (mp << d) * 128
+        perm = _fast_leaf_perm(d, h, mp)
+        row_bytes = group_size * self.db.slot_bytes
+        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+        sc_rows = scatter_rows_to_storage_order(rows, perm, flat)
+        planes = None
+        if flat * row_bytes * 8 <= self.plane_table_budget:
+            planes = jnp.asarray(make_plane_table(sc_rows))
+        # u32 word table, aligned per slot group like _table
+        arr = np.zeros((flat, group_size, -(-self.db.slot_bytes // 4) * 4),
+                       dtype=np.uint8)
+        arr[:, :, : self.db.slot_bytes] = sc_rows.reshape(
+            flat, group_size, self.db.slot_bytes
+        )
+        words = jnp.asarray(arr.view("<u4").reshape(flat, -1))
+        self._storage_cache[key] = (planes, words)
+        return self._storage_cache[key]
 
     def _table_u8(self, group_size: int):
         """uint8 row-major table padded for the MXU bit-plane scan."""
@@ -313,9 +346,10 @@ class TpuPirServer:
         if query.is_two_party and not query.is_keyword_based:
             payload, layout, dkey = self._index_payload(query, h)
             if payload is not None and query.key_fast is not None:
-                res = fused_fast_answer_fn(layout)(
-                    table, payload, self._fast_perm(dkey)
-                )
+                from .models.pipeline import fused_fast_answer_storage_fn
+
+                _, words = self._storage_tables(query.group_size, dkey)
+                res = fused_fast_answer_storage_fn(layout)(words, payload)
                 return self._result_from_words(res, query.group_size)
             if payload is not None:
                 res = fused_answer_fn(layout)(
@@ -350,13 +384,13 @@ class TpuPirServer:
             payloads.append(p)
             layout, last_dkey = lo, dkey
         if fast and len(queries) >= self.mxu_batch_threshold:
-            planes = self._plane_table(g)
+            planes, _ = self._storage_tables(g, last_dkey)
             if planes is not None:
-                from .models.pipeline import fused_fast_answer_batch_preplane_fn
+                from .models.pipeline import fused_fast_answer_batch_storage_fn
 
                 out = np.asarray(
-                    fused_fast_answer_batch_preplane_fn(layout)(
-                        planes, np.stack(payloads), self._fast_perm(last_dkey)
+                    fused_fast_answer_batch_storage_fn(layout)(
+                        planes, np.stack(payloads)
                     )
                 )
             else:
