@@ -59,10 +59,13 @@ def new_auth_token_shares_for_key(auth_key: Slot, num_shares: int) -> list[AuthT
 
 
 def new_authenticated_index_query_shares(
-    dbmd: DBMetadata, index: int, auth_key: Slot, group_size: int, num_shares: int
+    dbmd: DBMetadata, index: int, auth_key: Slot, group_size: int,
+    num_shares: int, fast: bool = False,
 ) -> list[AuthenticatedQueryShare]:
-    """query.go:103-116."""
-    query_shares = new_index_query_shares(dbmd, index, group_size, num_shares)
+    """query.go:103-116. fast=True uses the early-termination DPF
+    (audit reuse requires group_size == 1 in fast mode)."""
+    query_shares = new_index_query_shares(dbmd, index, group_size, num_shares,
+                                          fast=fast)
     token_shares = new_auth_token_shares_for_key(auth_key, num_shares)
     return [
         AuthenticatedQueryShare(q, t) for q, t in zip(query_shares, token_shares)

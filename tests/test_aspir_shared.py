@@ -54,3 +54,22 @@ def test_shared_aspir_device_expansion():
         generate_audit_for_shared_query(keydb, s, server=server) for s in shares
     ]
     assert check_audit(*audits)
+
+
+def test_shared_aspir_fast_mode():
+    """Audit works with early-termination (fast) query shares."""
+    rng = random.Random(3)
+    keydb = generate_random_db(DB_SIZE, SEC_BYTES)
+    index = rng.randrange(DB_SIZE)
+    shares = new_authenticated_index_query_shares(
+        keydb.metadata(), index, keydb.slot(index), 1, 2, fast=True
+    )
+    audits = [generate_audit_for_shared_query(keydb, s) for s in shares]
+    assert check_audit(*audits)
+    # wrong key fails
+    shares = new_authenticated_index_query_shares(
+        keydb.metadata(), (index + 1) % DB_SIZE, keydb.slot(index), 1, 2,
+        fast=True,
+    )
+    audits = [generate_audit_for_shared_query(keydb, s) for s in shares]
+    assert not check_audit(*audits)
