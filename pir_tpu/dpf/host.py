@@ -142,11 +142,84 @@ def generate_two_server(dpf: Dpf, a: int, b: int) -> list[Key2P]:
     ]
 
 
-def generate_multi_server(dpf: Dpf, a: int, b: int, num_parties: int):
-    """Multi-party keygen — stubbed in the reference (dpf/client.go:152-156)."""
-    raise NotImplementedError(
-        "multi-party DPF keygen is not implemented (matches reference stub)"
+def _mp_params(num_bits: int, num_parties: int):
+    """Derived exactly from the eval's arithmetic (dpf/server.go:119-124)."""
+    p2 = 1 << (num_parties - 1)
+    mu = int(
+        math.ceil(math.pow(2, num_bits / 2) * math.pow(2, (num_parties - 1) / 2))
     )
+    gamma_bits = (num_bits + 1) // 2
+    delta_bits = num_bits // 2
+    return p2, mu, gamma_bits, delta_bits
+
+
+def generate_multi_server(dpf: Dpf, a: int, b: int, num_parties: int) -> list[KeyMP]:
+    """p-party (>=3) DPF keygen for f(a)=b, XOR-output shares.
+
+    The reference scaffolds the multi-party *eval* (dpf/server.go:110-144)
+    but leaves keygen as a panic stub (dpf/client.go:152-156); this
+    completes it with the classic seed-sharing construction the eval
+    implies (BGI'15-style, 1-out-of-2^{p-1} presence patterns):
+
+    * per row gamma there are 2^{p-1} seed slots; all parties holding a
+      slot share the same seed, and presence vectors v_j are random
+      subject to XOR_j v_j = 0 for gamma != gamma_a and = all-ones at
+      gamma_a, so expansions cancel pairwise except at the target row;
+    * correction words satisfy XOR_i CW_i = XOR_i G(s_{gamma_a, i}) ^
+      b*e_{delta_a}, making the surviving row sum to the point value.
+
+    Security: any single server's view (its presence vector + common
+    seeds) is independent of (a, b); collusion of p-1 servers is required
+    to break privacy, as in the reference's threat model.
+    """
+    if num_parties < 3:
+        raise ValueError("use generate_two_server for 2 parties")
+    nb = dpf.num_bits
+    p2, mu, gamma_bits, delta_bits = _mp_params(nb, num_parties)
+    n_gamma = 1 << gamma_bits
+    gamma_a = (a >> delta_bits) & (n_gamma - 1)
+    delta_a = a & ((1 << delta_bits) - 1)
+    num_blocks = -(-dpf.m * mu // BLOCK_SIZE)
+
+    # shared seeds per (row, slot); the target row's slot expansions
+    seeds = np.frombuffer(os.urandom(n_gamma * p2 * 16), dtype=np.uint8).reshape(
+        n_gamma, p2, 16
+    ).copy()
+    # avoid the eval's all-zero-seed skip (dpf/server.go:127-136)
+    zero_rows = ~seeds.any(axis=2)
+    seeds[zero_rows, 0] = 1
+
+    g_out = prf_blocks(seeds[gamma_a], dpf.ciphers, num_blocks)  # (p2, nbl, 16)
+    g_words = (
+        g_out.reshape(p2, -1)[:, : dpf.m * mu].copy().view("<u4").reshape(p2, mu)
+    )
+
+    cw = np.frombuffer(os.urandom(p2 * mu * 4), dtype="<u4").reshape(p2, mu).copy()
+    target = np.zeros(mu, dtype=np.uint32)
+    target[delta_a] = np.uint32(b & 0xFFFFFFFF)
+    # XOR_i cw[i] = XOR_i G(s_i) ^ target
+    acc = np.bitwise_xor.reduce(cw[:-1], axis=0) if p2 > 1 else np.zeros(
+        mu, np.uint32
+    )
+    cw[-1] = acc ^ np.bitwise_xor.reduce(g_words, axis=0) ^ target
+
+    # presence vectors: XOR_j v_j = all-ones at gamma_a else all-zeros
+    v = np.frombuffer(
+        os.urandom(n_gamma * (num_parties - 1) * p2), dtype=np.uint8
+    ).reshape(num_parties - 1, n_gamma, p2) & 1
+    v_last = np.bitwise_xor.reduce(v, axis=0)
+    v_last[gamma_a] ^= 1
+    v = np.concatenate([v, v_last[None]], axis=0)  # (p, n_gamma, p2)
+
+    keys = []
+    cw_list = [cw[i] for i in range(p2)]
+    for j in range(num_parties):
+        sigma = []
+        for g in range(n_gamma):
+            row = seeds[g] * v[j, g][:, None]  # zero seed when absent
+            sigma.append(row.reshape(-1).tobytes())
+        keys.append(KeyMP(num_parties, [c.copy() for c in cw_list], sigma))
+    return keys
 
 
 def evaluate_2p(dpf: Dpf, server_num: int, key: Key2P, x: int) -> int:

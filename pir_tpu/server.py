@@ -56,7 +56,14 @@ def expand_shared_query(db: Database, query: QueryShare) -> np.ndarray:
             ],
             dtype=np.int64,
         )
-        return (vals & 1) == 0
+        # Multi-party outputs are XOR shares, so the *direct* parity is
+        # the selection-bit share: XOR_j (y_j & 1) = [row == target].
+        # (The reference's inverted convention at db.go:157-161 belongs
+        # to the 2-party +/- sum shares; applied to XOR shares with an
+        # odd server count it would select the complement of the target.
+        # That code path is unreachable in the reference — keygen panics —
+        # so this completes it with the convention that works for any p.)
+        return (vals & 1) == 1
     if query.is_keyword_based:
         vals = dpf_host.eval_points(
             pf, query.share_number, query.key_two_party, db.keywords[:dim_height]

@@ -1,0 +1,59 @@
+"""Multi-party (>=3 servers) DPF — keygen completed beyond the reference
+stub (dpf/client.go:152-156); eval semantics follow dpf/server.go:110-144."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pir_tpu import query as q
+from pir_tpu import server as srv
+from pir_tpu.database import generate_random_db
+from pir_tpu.dpf import host as dpf
+from pir_tpu.utils.bits import num_bits_for_height
+
+
+@pytest.mark.parametrize("num_parties", [3, 4, 5])
+def test_mp_dpf_xor_shares_point_function(num_parties):
+    rng = random.Random(num_parties)
+    for _ in range(3):
+        num = rng.randrange(1 << 8) + 50
+        special = rng.randrange(num)
+        value = rng.randrange(1, 1 << 32)
+
+        client = dpf.client_initialize(num_bits_for_height(num))
+        keys = dpf.generate_multi_server(client, special, value, num_parties)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+
+        for x in rng.sample(range(num), 15) + [special]:
+            acc = 0
+            for j in range(num_parties):
+                acc ^= dpf.evaluate_mp(server, keys[j], x)
+            want = value if x == special else 0
+            assert acc == want, (num_parties, x, special)
+
+
+def test_mp_single_party_view_is_masked():
+    """A single server's presence pattern has uniform marginals."""
+    client = dpf.client_initialize(8)
+    keys_a = dpf.generate_multi_server(client, 3, 1, 3)
+    # sigma rows are byte strings; nonzero slots vary randomly per row
+    nonzero_counts = []
+    for g in range(len(keys_a[0].sigma)):
+        row = np.frombuffer(keys_a[0].sigma[g], dtype=np.uint8).reshape(-1, 16)
+        nonzero_counts.append(int(row.any(axis=1).sum()))
+    # not all-zero and not all-full across rows (overwhelming probability)
+    assert 0 < sum(nonzero_counts) < len(nonzero_counts) * 4
+
+
+@pytest.mark.parametrize("num_shares", [3, 4])
+def test_three_server_pir_end_to_end(num_shares):
+    """>=3-server secret-shared PIR through the standard query API."""
+    rng = random.Random(10 + num_shares)
+    db = generate_random_db(1 << 9, 5)
+    for _ in range(3):
+        idx = rng.randrange(db.db_size)
+        shares = q.new_index_query_shares(db.metadata(), idx, 1, num_shares)
+        results = [srv.private_secret_shared_query(db, s) for s in shares]
+        rec = q.recover(results)
+        assert db.slot(idx).equal(rec[0]), idx
