@@ -67,20 +67,48 @@ def deserialize_key2p(buf: memoryview) -> tuple[Key2P, int]:
     return Key2P(s_init, t_init, cw, final_cw), off
 
 
+# ---- FastKey2P ----
+
+def serialize_fast_key(key) -> bytes:
+    parts = [bytes(key.s_init), struct.pack("<BH", key.t_init, key.depth)]
+    parts += [bytes(cw) for cw in key.cw]
+    parts.append(bytes(key.final_cw_block))
+    parts.append(struct.pack("<Q", key.height))
+    return b"".join(parts)
+
+
+def deserialize_fast_key(buf: memoryview):
+    from .dpf.host import FastKey2P
+
+    s_init = bytes(buf[:16])
+    t_init, depth = struct.unpack_from("<BH", buf, 16)
+    off = 19
+    cw = []
+    for _ in range(depth):
+        cw.append(bytes(buf[off:off + 18]))
+        off += 18
+    fcw = bytes(buf[off:off + 16])
+    off += 16
+    (height,) = struct.unpack_from("<Q", buf, off)
+    off += 8
+    return FastKey2P(s_init, t_init, cw, fcw, depth, height), off
+
+
 # ---- QueryShare ----
 
 def serialize_query_share(qs: QueryShare) -> bytes:
     if not qs.is_two_party:
-        raise NotImplementedError(
-            "multi-party query shares are not serializable (keygen is a "
-            "stub in the reference, dpf/client.go:152-156)"
-        )
+        raise NotImplementedError("multi-party share serialization TBD")
     flags = (1 if qs.is_keyword_based else 0) | 2  # bit1: two-party
+    if qs.key_fast is not None:
+        flags |= 4  # bit2: early-termination (fast) key
     head = _header(MSG_QUERY_SHARE) + struct.pack(
         "<BBI", flags, qs.share_number, qs.group_size
     )
     prf = b"".join(bytes(k.bytes) for k in qs.prf_keys)
     assert len(prf) == 64
+    if qs.key_fast is not None:
+        return head + prf + serialize_fast_key(qs.key_fast)
     return head + prf + serialize_key2p(qs.key_two_party)
 
 
@@ -90,15 +118,20 @@ def deserialize_query_share(data: bytes) -> QueryShare:
     off = 6
     prf_keys = [PrfKey(bytes(buf[off + 16 * i:off + 16 * (i + 1)])) for i in range(4)]
     off += 64
-    key, _ = deserialize_key2p(buf[off:])
+    key2p, key_fast = None, None
+    if flags & 4:
+        key_fast, _ = deserialize_fast_key(buf[off:])
+    else:
+        key2p, _ = deserialize_key2p(buf[off:])
     return QueryShare(
-        key_two_party=key,
+        key_two_party=key2p,
         key_multi_party=None,
         prf_keys=prf_keys,
         is_keyword_based=bool(flags & 1),
         is_two_party=True,
         share_number=share_number,
         group_size=group_size,
+        key_fast=key_fast,
     )
 
 

@@ -48,3 +48,44 @@ def test_service_end_to_end():
     finally:
         s0.close()
         s1.close()
+
+
+def test_fast_query_share_roundtrip():
+    db = generate_random_db(1 << 12, 4)
+    shares = new_index_query_shares(db.metadata(), 99, 1, 2, fast=True)
+    for s in shares:
+        back = wire.deserialize_query_share(wire.serialize_query_share(s))
+        assert back.key_fast is not None and back.key_two_party is None
+        k, bk = s.key_fast, back.key_fast
+        assert (bk.s_init, bk.t_init, bk.cw, bk.final_cw_block, bk.depth,
+                bk.height) == (k.s_init, k.t_init, k.cw, k.final_cw_block,
+                               k.depth, k.height)
+
+
+def test_service_fast_mode_end_to_end():
+    rng = random.Random(1)
+    db = generate_random_db(1 << 10, 8)
+    s0 = PirService(db).start()
+    s1 = PirService(db).start()
+    try:
+        client = PirClient([s0.address, s1.address])
+        from pir_tpu.query import new_index_query_shares as gen
+        from pir_tpu.query import recover
+        from pir_tpu import wire as w
+        from pir_tpu.service import OP_QUERY, _recv_frame, _send_frame
+
+        idx = rng.randrange(db.db_size)
+        shares = gen(client.metadata, idx, 1, 2, fast=True)
+        for sock, share in zip(client._socks, shares):
+            _send_frame(sock, OP_QUERY, w.serialize_query_share(share))
+        results = []
+        for sock in client._socks:
+            op, payload = _recv_frame(sock)
+            assert op == OP_QUERY, payload
+            results.append(w.deserialize_shared_result(payload))
+        res = recover(results)
+        assert Slot(db.data[idx].tobytes()).equal(res[0])
+        client.close()
+    finally:
+        s0.close()
+        s1.close()
