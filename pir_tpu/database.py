@@ -89,6 +89,28 @@ class Database(DBMetadata):
     def set_keywords(self, keywords) -> None:
         self.keywords = np.asarray(keywords, dtype=np.uint64)
 
+    # ---- persistence (checkpoint/resume; the reference rebuilds the DB
+    # in memory each run, SURVEY.md §5) ----
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            data=self.data,
+            keywords=self.keywords if self.keywords is not None else np.zeros(0),
+            meta=np.array([self.slot_bytes, self.db_size], dtype=np.int64),
+        )
+
+    @staticmethod
+    def load(path: str) -> "Database":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        slot_bytes, db_size = (int(x) for x in z["meta"])
+        db = Database(slot_bytes=slot_bytes, db_size=db_size)
+        db.data = z["data"]
+        kw = z["keywords"]
+        if kw.size:
+            db.keywords = kw.astype(np.uint64)
+        return db
+
 
 def new_database() -> Database:
     return Database()

@@ -156,6 +156,92 @@ def deserialize_shared_result(data: bytes) -> SecretSharedQueryResult:
     return SecretSharedQueryResult(slot_bytes, shares)
 
 
+# ---- Paillier / encrypted queries (cPIR) ----
+
+MSG_ENCRYPTED_QUERY = 4
+MSG_ENCRYPTED_RESULT = 5
+
+
+def _int_out(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    return struct.pack("<I", len(b)) + b
+
+
+def _int_in(buf: memoryview, off: int) -> tuple[int, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    return int.from_bytes(bytes(buf[off:off + n]), "big"), off + n
+
+
+def serialize_encrypted_query(q) -> bytes:
+    """EncryptedQuery (encrypted.py) -> bytes; carries pk.n inline."""
+    parts = [
+        _header(MSG_ENCRYPTED_QUERY),
+        struct.pack("<III", q.group_size, q.db_width, q.db_height),
+        _int_out(q.pk.n),
+        struct.pack("<I", len(q.ebits)),
+    ]
+    for ct in q.ebits:
+        parts.append(struct.pack("<B", ct.level))
+        parts.append(_int_out(ct.c))
+    return b"".join(parts)
+
+
+def deserialize_encrypted_query(data: bytes):
+    from .crypto.paillier import Ciphertext, PublicKey
+    from .encrypted import EncryptedQuery
+
+    buf = _check_header(memoryview(data), MSG_ENCRYPTED_QUERY)
+    group_size, width, height = struct.unpack_from("<III", buf, 0)
+    n, off = _int_in(buf, 12)
+    (count,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    ebits = []
+    for _ in range(count):
+        (level,) = struct.unpack_from("<B", buf, off)
+        off += 1
+        c, off = _int_in(buf, off)
+        ebits.append(Ciphertext(c, level))
+    return EncryptedQuery(PublicKey(n), ebits, group_size, width, height)
+
+
+def serialize_encrypted_result(res) -> bytes:
+    """EncryptedQueryResult -> bytes (ciphertexts only; pk travels with
+    the query)."""
+    parts = [
+        _header(MSG_ENCRYPTED_RESULT),
+        struct.pack("<III", res.slot_bytes, res.num_bytes_per_ciphertext,
+                    len(res.slots)),
+    ]
+    for slot in res.slots:
+        parts.append(struct.pack("<I", len(slot.cts)))
+        for ct in slot.cts:
+            parts.append(struct.pack("<B", ct.level))
+            parts.append(_int_out(ct.c))
+    return b"".join(parts)
+
+
+def deserialize_encrypted_result(data: bytes, pk):
+    from .crypto.paillier import Ciphertext
+    from .encrypted import EncryptedQueryResult, EncryptedSlot
+
+    buf = _check_header(memoryview(data), MSG_ENCRYPTED_RESULT)
+    slot_bytes, per_ct, n_slots = struct.unpack_from("<III", buf, 0)
+    off = 12
+    slots = []
+    for _ in range(n_slots):
+        (n_cts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        cts = []
+        for _ in range(n_cts):
+            (level,) = struct.unpack_from("<B", buf, off)
+            off += 1
+            c, off = _int_in(buf, off)
+            cts.append(Ciphertext(c, level))
+        slots.append(EncryptedSlot(cts))
+    return EncryptedQueryResult(slots, pk, slot_bytes, per_ct)
+
+
 # ---- DBMetadata ----
 
 def serialize_metadata(slot_bytes: int, db_size: int) -> bytes:

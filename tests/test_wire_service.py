@@ -89,3 +89,39 @@ def test_service_fast_mode_end_to_end():
     finally:
         s0.close()
         s1.close()
+
+
+def test_encrypted_query_wire_roundtrip():
+    """cPIR query/result over the wire, end-to-end with decryption."""
+    from pir_tpu import encrypted as enc
+    from pir_tpu.crypto.paillier import keygen
+
+    sk, pk = keygen(128)
+    db = generate_random_db(1 << 6, 3)
+    query = enc.new_encrypted_query(db.metadata(), pk, 1, 3)
+    q2 = wire.deserialize_encrypted_query(wire.serialize_encrypted_query(query))
+    assert q2.pk.n == pk.n and q2.db_width == query.db_width
+    resp = enc.private_encrypted_query(db, q2)
+    r2 = wire.deserialize_encrypted_result(
+        wire.serialize_encrypted_result(resp), pk
+    )
+    res = enc.recover_encrypted(r2, sk)
+    for j in range(query.db_width):
+        idx = 3 * query.db_width + j
+        if idx < db.db_size:
+            assert db.slot(idx).equal(res[j])
+
+
+def test_database_save_load(tmp_path):
+    import numpy as np
+
+    db = generate_random_db(128, 7)
+    db.set_keywords(np.arange(128, dtype=np.uint64))
+    p = str(tmp_path / "db.npz")
+    db.save(p)
+    from pir_tpu.database import Database
+
+    db2 = Database.load(p)
+    assert db2.db_size == 128 and db2.slot_bytes == 7
+    assert (db2.data == db.data).all()
+    assert (db2.keywords == db.keywords).all()
