@@ -93,7 +93,10 @@ def test_correct_two_server_keyword():
                 assert ans0 + ans1 == 0
 
 
-def test_multi_server_keygen_matches_reference_stub():
+def test_multi_server_keygen_rejects_two_parties():
+    """Keygen is implemented for p>=3 (completing the reference stub,
+    dpf/client.go:152-156; see test_dpf_multiparty.py); 2 parties must
+    use the tree-based scheme."""
     client = dpf.client_initialize(10)
-    with pytest.raises(NotImplementedError):
-        dpf.generate_multi_server(client, 1, 1, 3)
+    with pytest.raises(ValueError):
+        dpf.generate_multi_server(client, 1, 1, 2)
