@@ -78,6 +78,10 @@ class EcbCipher:
         self._cipher = Cipher(algorithms.AES(bytes(key)), modes.ECB())
         self.key = bytes(key)
         self._round_keys = None
+        # one long-lived ECB context: update() is block-independent for
+        # ECB, and context creation dominated the per-query host cost.
+        # (Cipher objects are per-query / single-threaded by construction.)
+        self._enc = self._cipher.encryptor()
 
     @property
     def round_keys(self) -> np.ndarray:
@@ -87,8 +91,7 @@ class EcbCipher:
 
     def encrypt_blocks(self, blocks: np.ndarray) -> np.ndarray:
         """(n, 16) uint8 -> (n, 16) uint8 of AES_k(block)."""
-        enc = self._cipher.encryptor()
-        out = enc.update(blocks.tobytes()) + enc.finalize()
+        out = self._enc.update(blocks.tobytes())
         return np.frombuffer(out, dtype=np.uint8).reshape(blocks.shape)
 
 
