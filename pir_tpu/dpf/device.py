@@ -498,6 +498,159 @@ def make_key_payload(
     return pack_key_payload(dkey)
 
 
+# --------------------------------------------------------------------------
+# Root-start expansion (v2): the whole tree on device, including the first
+# five sub-word levels, so the host builds payloads with pure vector ops.
+# --------------------------------------------------------------------------
+# Levels 0..4 hold 2^i live nodes in the LOW BITS of a single uint32 word
+# per plane; the doubling step is s' = (sL & lo) | ((sR & lo) << 2^i)
+# (children land at +2^i — the [lefts | rights] storage convention within
+# one word). From level 5 on, the word-axis concat used everywhere else.
+# Leaf storage position is then exactly bit_reverse(leaf, depth).
+
+
+def _expand_root_level(seeds, t_plane, cw_seed_mask, cw_tl, cw_tr, rk_masks, i):
+    out = _prf_triple(seeds, rk_masks)
+    s_l, t_l, s_r, t_r = _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr)
+    if i < 5:
+        lo = jnp.uint32((1 << (1 << i)) - 1)
+        shift = jnp.uint32(1 << i)
+        seeds = (s_l & lo) | ((s_r & lo) << shift)
+        t_plane = (t_l & lo) | ((t_r & lo) << shift)
+    else:
+        seeds = jnp.concatenate([s_l, s_r], axis=-1)
+        t_plane = jnp.concatenate([t_l, t_r], axis=-1)
+    return seeds, t_plane
+
+
+def expand_planes_from_root(seeds, t_plane, cw_seed_masks, cw_tl, cw_tr,
+                            rk_masks, depth: int):
+    """seeds (8,16,1) with bit0 = s_init bits -> (8,16,2^max(0,depth-5))."""
+    for i in range(depth):
+        seeds, t_plane = _expand_root_level(
+            seeds, t_plane, cw_seed_masks[i], cw_tl[i], cw_tr[i], rk_masks, i
+        )
+    return seeds, t_plane
+
+
+@functools.lru_cache(maxsize=64)
+def _fast_leaf_perm_root(depth: int, height: int) -> np.ndarray:
+    """Natural row -> flat bit index for root-start expansion.
+
+    flat index = (bit*16 + byte) * 2^depth + bit_reverse(leaf, depth).
+    """
+    r = np.arange(height, dtype=np.int64)
+    leaf = r >> 7
+    within = r & 127
+    byte_i = within >> 3
+    bit_k = within & 7
+    rev = np.zeros_like(leaf)
+    for b in range(depth):
+        rev |= ((leaf >> b) & 1) << (depth - 1 - b)
+    return (bit_k * 16 + byte_i) * (1 << depth) + rev
+
+
+@dataclass(frozen=True)
+class FastRootLayout:
+    depth: int
+    height: int
+
+    @property
+    def sizes(self):
+        d = self.depth
+        return (128, 1, d * 128, d, d, 128, 11 * 8 * 3 * 16, 11 * 8 * 16)
+
+    @property
+    def total(self):
+        return sum(self.sizes)
+
+    @property
+    def flat_bits(self):
+        return 128 << self.depth
+
+
+def unpack_fast_root_payload(payload, layout: FastRootLayout):
+    d = layout.depth
+    offs = np.cumsum((0,) + layout.sizes)
+    seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
+    return (
+        seg[0].reshape(8, 16, 1),
+        seg[1],
+        seg[2].reshape(d, 8, 16, 1),
+        seg[3],
+        seg[4],
+        seg[5].reshape(8, 16, 1),
+        seg[6].reshape(11, 8, 3, 16, 1),
+        seg[7].reshape(11, 8, 16, 1),
+    )
+
+
+def _bits_of_bytes_batch(data: np.ndarray) -> np.ndarray:
+    """(..., n) uint8 -> (..., 8, n) bit planes {0,1} uint32 (LSB first)."""
+    return (
+        (data[..., None, :] >> np.arange(8, dtype=np.uint8)[:, None]) & 1
+    ).astype(np.uint32)
+
+
+def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
+    """Vectorised payload builder for a batch of fast-mode query shares.
+
+    All heavy per-query host work (key schedules, mask building) runs as
+    numpy ops over the whole batch; the tree prefix that make_device_
+    fast_key computes on the host is instead expanded on device
+    (expand_planes_from_root).
+    """
+    from .aes_host import key_schedule
+    from .bitslice import key_masks
+
+    q_n = len(shares)
+    k0 = shares[0].key_fast
+    depth, height = k0.depth, k0.height
+    layout = FastRootLayout(depth, height)
+    _full = np.uint32(0xFFFFFFFF)
+
+    payload = np.zeros((q_n, layout.total), dtype=np.uint32)
+    offs = np.cumsum((0,) + layout.sizes)
+
+    s_init = np.stack([
+        np.frombuffer(s.key_fast.s_init, np.uint8) for s in shares
+    ])  # (Q, 16)
+    payload[:, offs[0]:offs[1]] = _bits_of_bytes_batch(s_init).reshape(q_n, 128)
+    payload[:, offs[1]] = np.array(
+        [_full if s.key_fast.t_init else 0 for s in shares], np.uint32
+    )
+
+    if depth:
+        cw = np.stack([
+            np.frombuffer(b"".join(s.key_fast.cw), np.uint8).reshape(depth, 18)
+            for s in shares
+        ])  # (Q, d, 18)
+        payload[:, offs[2]:offs[3]] = (
+            _bits_of_bytes_batch(cw[:, :, :16]) * _full
+        ).reshape(q_n, depth * 128)
+        payload[:, offs[3]:offs[4]] = (cw[:, :, 16] & 1).astype(np.uint32) * _full
+        payload[:, offs[4]:offs[5]] = (cw[:, :, 17] & 1).astype(np.uint32) * _full
+
+    fcw = np.stack([
+        np.frombuffer(s.key_fast.final_cw_block, np.uint8) for s in shares
+    ])
+    payload[:, offs[5]:offs[6]] = (
+        _bits_of_bytes_batch(fcw) * _full
+    ).reshape(q_n, 128)
+
+    # round keys: 4 schedules per query, vectorised mask building
+    rks = np.stack([
+        np.stack([key_schedule(k.bytes) for k in s.prf_keys]) for s in shares
+    ])  # (Q, 4, 11, 16)
+    masks = key_masks(rks)  # (11, 8, 16, Q, 4)
+    tree = np.moveaxis(masks[..., :3], (0, 1, 2, 3, 4), (1, 2, 4, 0, 3))
+    payload[:, offs[6]:offs[7]] = np.ascontiguousarray(tree).reshape(q_n, -1)
+    leaf = np.moveaxis(masks[..., 3], (0, 1, 2, 3), (1, 2, 3, 0))
+    payload[:, offs[7]:offs[8]] = np.ascontiguousarray(leaf).reshape(q_n, -1)
+
+    return payload, layout
+
+
 @dataclass(frozen=True)
 class FastPayloadLayout:
     nw0: int

@@ -252,6 +252,37 @@ def fused_fast_answer_storage_fn(layout):
 
 
 @functools.lru_cache(maxsize=64)
+def fused_fast_root_batch_fn(layout):
+    """Root-start batched fast answers (v2): the entire DPF tree expands
+    on device and the host builds payloads with batch vector ops.
+
+    jit(planes_i8 (flat, 8B), payloads (Q, L)) -> (Q, B) uint8 against a
+    storage-ordered plane table (leaf position = bit_reverse(leaf)).
+    """
+    from ..dpf.device import (
+        expand_planes_from_root,
+        fast_leaf_bits_flat,
+        unpack_fast_root_payload,
+    )
+    from ..ops.matmul_scan import mxu_preplane_scan
+
+    def bits_of(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = (
+            unpack_fast_root_payload(payload, layout)
+        )
+        seeds, t = expand_planes_from_root(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, layout.depth
+        )
+        return fast_leaf_bits_flat(seeds, t, fcw, rk_leaf)
+
+    def fn(planes_i8, payloads):
+        bits = jax.vmap(bits_of)(payloads)  # (Q, flat)
+        return mxu_preplane_scan(planes_i8, bits)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def fused_fast_answer_batch_preplane_fn(layout):
     """Batched fast answers against a precomputed bit-plane table:
     jit(planes_i8 (H, 8B), payloads (Q, L), perm) -> (Q, B) uint8.

@@ -184,6 +184,32 @@ class TpuPirServer:
         self._plane_tables[group_size] = jnp.asarray(make_plane_table(rows))
         return self._plane_tables[group_size]
 
+    def _root_plane_table(self, group_size: int, depth: int):
+        """Storage-ordered (bit-reversed leaves) plane table for the
+        root-start batched path; None if over the memory budget."""
+        import jax.numpy as jnp
+
+        from .dpf.device import (
+            _fast_leaf_perm_root,
+            scatter_rows_to_storage_order,
+        )
+        from .ops.matmul_scan import make_plane_table
+
+        key = ("root", group_size, depth)
+        if key in self._storage_cache:
+            return self._storage_cache[key]
+        h = self.db.db_size // group_size
+        row_bytes = group_size * self.db.slot_bytes
+        flat = 128 << depth
+        if flat * row_bytes * 8 > self.plane_table_budget:
+            self._storage_cache[key] = None
+            return None
+        perm = _fast_leaf_perm_root(depth, h)
+        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+        sc = scatter_rows_to_storage_order(rows, perm, flat)
+        self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
+        return self._storage_cache[key]
+
     def _storage_tables(self, group_size: int, dkey):
         """Storage-ordered tables for the gather-free fast path: returns
         (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
@@ -391,6 +417,24 @@ class TpuPirServer:
             payloads.append(p)
             layout, last_dkey = lo, dkey
         if fast and len(queries) >= self.mxu_batch_threshold:
+            from .dpf.device import make_fast_payload_batch
+            from .models.pipeline import fused_fast_root_batch_fn
+
+            root_planes = self._root_plane_table(g, queries[0].key_fast.depth)
+            if root_planes is not None:
+                pay, root_layout = make_fast_payload_batch(queries)
+                out = np.asarray(
+                    fused_fast_root_batch_fn(root_layout)(root_planes, pay)
+                )
+                sb = self.db.slot_bytes
+                return [
+                    SecretSharedQueryResult(
+                        sb,
+                        [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                         for c in range(g)],
+                    )
+                    for i in range(len(queries))
+                ]
             planes, _ = self._storage_tables(g, last_dkey)
             if planes is not None:
                 from .models.pipeline import fused_fast_answer_batch_storage_fn

@@ -114,3 +114,17 @@ def test_fast_batched_queries_streaming_path():
     for k, i in enumerate(idxs):
         res = q.recover([out0[k], out1[k]])
         assert db.slot(i).equal(res[0]), (k, i)
+
+
+def test_fast_root_batched_path():
+    """Root-start device expansion (v2 batched path) vs host golden."""
+    rng = random.Random(7)
+    db = generate_random_db(1 << 13, 8)
+    tpu = TpuPirServer(db, mxu_batch_threshold=4)
+    idxs = [rng.randrange(db.db_size) for _ in range(6)]
+    sh = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True) for i in idxs]
+    out0 = tpu.private_secret_shared_query_batch([x[0] for x in sh])
+    out1 = tpu.private_secret_shared_query_batch([x[1] for x in sh])
+    for k, i in enumerate(idxs):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(i).equal(res[0]), (k, i)
