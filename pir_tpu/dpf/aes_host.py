@@ -71,6 +71,21 @@ def key_schedule(key: bytes | np.ndarray) -> np.ndarray:
     return np.frombuffer(b"".join(w), dtype=np.uint8).reshape(11, 16)
 
 
+def key_schedule_batch(keys: np.ndarray) -> np.ndarray:
+    """Vectorised AES-128 key expansion: (K, 16) uint8 -> (K, 11, 16)."""
+    keys = np.asarray(keys, dtype=np.uint8)
+    k = keys.shape[0]
+    w = np.zeros((k, 44, 4), np.uint8)
+    w[:, :4] = keys.reshape(k, 4, 4)
+    for i in range(4, 44):
+        t = w[:, i - 1]
+        if i % 4 == 0:
+            t = SBOX[np.roll(t, -1, axis=1)]
+            t[:, 0] ^= RCON[i // 4 - 1]
+        w[:, i] = w[:, i - 4] ^ t
+    return w.reshape(k, 11, 16)
+
+
 class EcbCipher:
     """Batched AES-128-ECB encryption of many 16-byte blocks at once."""
 

@@ -638,10 +638,13 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
         _bits_of_bytes_batch(fcw) * _full
     ).reshape(q_n, 128)
 
-    # round keys: 4 schedules per query, vectorised mask building
-    rks = np.stack([
-        np.stack([key_schedule(k.bytes) for k in s.prf_keys]) for s in shares
-    ])  # (Q, 4, 11, 16)
+    # round keys: vectorised schedules + mask building
+    from .aes_host import key_schedule_batch
+
+    all_keys = np.stack([
+        np.frombuffer(k.bytes, np.uint8) for s in shares for k in s.prf_keys
+    ])  # (4Q, 16)
+    rks = key_schedule_batch(all_keys).reshape(q_n, 4, 11, 16)
     masks = key_masks(rks)  # (11, 8, 16, Q, 4)
     tree = np.moveaxis(masks[..., :3], (0, 1, 2, 3, 4), (1, 2, 4, 0, 3))
     payload[:, offs[6]:offs[7]] = np.ascontiguousarray(tree).reshape(q_n, -1)
