@@ -28,8 +28,25 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache: first runs pay minutes of remote
+    compile per jit shape; subsequent processes reuse executables."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pir_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+
+    enable_compile_cache()
 
     from pir_tpu import query as q
     from pir_tpu.database import Database

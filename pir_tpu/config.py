@@ -36,6 +36,24 @@ class PirConfig:
         return self
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Best-effort persistent XLA compile cache (huge win on remote-compile
+    rigs; see CLAUDE.md). Call before the first jit compilation."""
+    import os
+
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   "/tmp/pir_tpu_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def pick_engine(cfg: PirConfig):
     """Resolve 'auto' to the best available engine."""
     if cfg.engine != "auto":
