@@ -12,8 +12,6 @@ bit-plane decomposition in ``matmul_scan.py``.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
