@@ -655,6 +655,97 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
 
 
 @dataclass(frozen=True)
+class CompatRootLayout:
+    """Root-start payload layout for the reference-exact (compat) mode."""
+
+    num_bits: int
+    height: int
+
+    @property
+    def sizes(self):
+        d = self.num_bits
+        return (128, 1, d * 128, d, d, 1, 11 * 8 * 3 * 16)
+
+    @property
+    def total(self):
+        return sum(self.sizes)
+
+    @property
+    def flat_bits(self):
+        return 1 << self.num_bits
+
+
+def unpack_compat_root_payload(payload, layout: CompatRootLayout):
+    d = layout.num_bits
+    offs = np.cumsum((0,) + layout.sizes)
+    seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
+    return (
+        seg[0].reshape(8, 16, 1),
+        seg[1],
+        seg[2].reshape(d, 8, 16, 1),
+        seg[3],
+        seg[4],
+        seg[5][0],
+        seg[6].reshape(11, 8, 3, 16, 1),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _compat_leaf_perm_root(num_bits: int, height: int) -> np.ndarray:
+    """Natural row -> flat bit index (= bit_reverse(row)) for compat mode."""
+    r = np.arange(height, dtype=np.int64)
+    rev = np.zeros_like(r)
+    for b in range(num_bits):
+        rev |= ((r >> b) & 1) << (num_bits - 1 - b)
+    return rev
+
+
+def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
+    """Vectorised payload builder for compat (reference-exact) shares."""
+    from .aes_host import key_schedule_batch
+    from .bitslice import key_masks
+    from ..utils.bits import num_bits_for_height
+
+    q_n = len(shares)
+    k0 = shares[0].key_two_party
+    num_bits = len(k0.cw)
+    layout = CompatRootLayout(num_bits, 0)
+    _full = np.uint32(0xFFFFFFFF)
+
+    payload = np.zeros((q_n, layout.total), dtype=np.uint32)
+    offs = np.cumsum((0,) + layout.sizes)
+
+    s_init = np.stack([
+        np.frombuffer(s.key_two_party.s_init, np.uint8) for s in shares
+    ])
+    payload[:, offs[0]:offs[1]] = _bits_of_bytes_batch(s_init).reshape(q_n, 128)
+    payload[:, offs[1]] = np.array(
+        [_full if s.key_two_party.t_init else 0 for s in shares], np.uint32
+    )
+    cw = np.stack([
+        np.frombuffer(b"".join(s.key_two_party.cw), np.uint8).reshape(num_bits, 18)
+        for s in shares
+    ])
+    payload[:, offs[2]:offs[3]] = (
+        _bits_of_bytes_batch(cw[:, :, :16]) * _full
+    ).reshape(q_n, num_bits * 128)
+    payload[:, offs[3]:offs[4]] = (cw[:, :, 16] & 1).astype(np.uint32) * _full
+    payload[:, offs[4]:offs[5]] = (cw[:, :, 17] & 1).astype(np.uint32) * _full
+    payload[:, offs[5]] = np.array(
+        [_full if (s.key_two_party.final_cw & 1) else 0 for s in shares],
+        np.uint32,
+    )
+    all_keys = np.stack([
+        np.frombuffer(k.bytes, np.uint8) for s in shares for k in s.prf_keys[:3]
+    ])
+    rks = key_schedule_batch(all_keys).reshape(q_n, 3, 11, 16)
+    masks = key_masks(rks)  # (11, 8, 16, Q, 3)
+    tree = np.moveaxis(masks, (0, 1, 2, 3, 4), (1, 2, 4, 0, 3))
+    payload[:, offs[6]:offs[7]] = np.ascontiguousarray(tree).reshape(q_n, -1)
+    return payload, layout
+
+
+@dataclass(frozen=True)
 class FastPayloadLayout:
     nw0: int
     d_levels: int

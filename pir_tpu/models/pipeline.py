@@ -283,6 +283,38 @@ def fused_fast_root_batch_fn(layout):
 
 
 @functools.lru_cache(maxsize=64)
+def fused_compat_root_batch_fn(layout):
+    """Root-start batched COMPAT answers (reference-exact leaf semantics)
+    against a bit-reversed-row plane table:
+    jit(planes_i8 (2^nb, 8B), payloads (Q, L)) -> (Q, B) uint8."""
+    from ..dpf.device import (
+        _leaf_select_bits,
+        _unpack_bits,
+        expand_planes_from_root,
+        unpack_compat_root_payload,
+    )
+    from ..ops.matmul_scan import mxu_preplane_scan
+
+    def bits_of(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_compat_root_payload(
+            payload, layout
+        )
+        seeds, t = expand_planes_from_root(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, layout.num_bits
+        )
+        packed = _leaf_select_bits(seeds, t, fcw)
+        if layout.num_bits < 5:
+            packed = packed & jnp.uint32((1 << (1 << layout.num_bits)) - 1)
+        return _unpack_bits(packed, packed.shape[0] * 32)
+
+    def fn(planes_i8, payloads):
+        bits = jax.vmap(bits_of)(payloads)  # (Q, 2^nb)
+        return mxu_preplane_scan(planes_i8, bits)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def fused_fast_answer_batch_preplane_fn(layout):
     """Batched fast answers against a precomputed bit-plane table:
     jit(planes_i8 (H, 8B), payloads (Q, L), perm) -> (Q, B) uint8.

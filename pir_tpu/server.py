@@ -210,6 +210,31 @@ class TpuPirServer:
         self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
         return self._storage_cache[key]
 
+    def _compat_root_plane_table(self, group_size: int, num_bits: int):
+        """Bit-reversed-row plane table for the batched compat path."""
+        import jax.numpy as jnp
+
+        from .dpf.device import (
+            _compat_leaf_perm_root,
+            scatter_rows_to_storage_order,
+        )
+        from .ops.matmul_scan import make_plane_table
+
+        key = ("compat_root", group_size, num_bits)
+        if key in self._storage_cache:
+            return self._storage_cache[key]
+        h = self.db.db_size // group_size
+        row_bytes = group_size * self.db.slot_bytes
+        flat = 1 << num_bits
+        if flat * row_bytes * 8 > self.plane_table_budget:
+            self._storage_cache[key] = None
+            return None
+        perm = _compat_leaf_perm_root(num_bits, h)
+        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+        sc = scatter_rows_to_storage_order(rows, perm, flat)
+        self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
+        return self._storage_cache[key]
+
     def _storage_tables(self, group_size: int, dkey):
         """Storage-ordered tables for the gather-free fast path: returns
         (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
@@ -416,6 +441,29 @@ class TpuPirServer:
                 return [self.private_secret_shared_query(qq) for qq in queries]
             payloads.append(p)
             layout, last_dkey = lo, dkey
+        if (not fast) and len(queries) >= self.mxu_batch_threshold:
+            from .utils.bits import num_bits_for_height
+
+            nb = num_bits_for_height(h)
+            if nb >= 5:
+                planes = self._compat_root_plane_table(g, nb)
+                if planes is not None:
+                    from .dpf.device import make_compat_payload_batch
+                    from .models.pipeline import fused_compat_root_batch_fn
+
+                    pay, lo = make_compat_payload_batch(queries)
+                    out = np.asarray(
+                        fused_compat_root_batch_fn(lo)(planes, pay)
+                    )
+                    sb = self.db.slot_bytes
+                    return [
+                        SecretSharedQueryResult(
+                            sb,
+                            [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                             for c in range(g)],
+                        )
+                        for i in range(len(queries))
+                    ]
         if fast and len(queries) >= self.mxu_batch_threshold:
             from .dpf.device import make_fast_payload_batch
             from .models.pipeline import fused_fast_root_batch_fn

@@ -93,3 +93,16 @@ def test_keyword_query_shares(db):
 def test_query_outside_domain_raises(db):
     with pytest.raises(ValueError):
         q.new_index_query_shares(db.metadata(), db.db_size + 5, 1, 2)
+
+
+def test_compat_root_batched_path(db):
+    """Batched compat (reference-exact) queries via the root-start MXU path."""
+    rng = random.Random(9)
+    server = TpuPirServer(db, mxu_batch_threshold=4)
+    idxs = [rng.randrange(db.db_size) for _ in range(4)]
+    sh = [q.new_index_query_shares(db.metadata(), i, 1, 2) for i in idxs]
+    out0 = server.private_secret_shared_query_batch([x[0] for x in sh])
+    out1 = server.private_secret_shared_query_batch([x[1] for x in sh])
+    for k, i in enumerate(idxs):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(i).equal(res[0]), (k, i)
