@@ -242,7 +242,6 @@ class TpuPirServer:
         import jax.numpy as jnp
 
         from .dpf.device import _fast_leaf_perm, scatter_rows_to_storage_order
-        from .ops.matmul_scan import make_plane_table
 
         d, mp = dkey.plan.device_levels, dkey.plan.m_padded
         key = (group_size, d, mp)
@@ -254,17 +253,14 @@ class TpuPirServer:
         row_bytes = group_size * self.db.slot_bytes
         rows = self.db.data[: h * group_size].reshape(h, row_bytes)
         sc_rows = scatter_rows_to_storage_order(rows, perm, flat)
-        planes = None
-        if flat * row_bytes * 8 <= self.plane_table_budget:
-            planes = jnp.asarray(make_plane_table(sc_rows))
-        # u32 word table, aligned per slot group like _table
+        # u32 word table only (the batched MXU path uses _root_plane_table)
         arr = np.zeros((flat, group_size, -(-self.db.slot_bytes // 4) * 4),
                        dtype=np.uint8)
         arr[:, :, : self.db.slot_bytes] = sc_rows.reshape(
             flat, group_size, self.db.slot_bytes
         )
         words = jnp.asarray(arr.view("<u4").reshape(flat, -1))
-        self._storage_cache[key] = (planes, words)
+        self._storage_cache[key] = (None, words)
         return self._storage_cache[key]
 
     def _table_u8(self, group_size: int):
@@ -400,7 +396,7 @@ class TpuPirServer:
         falls back to expand-then-scan for keyword/multi-party/tiny cases."""
         from .models.pipeline import fused_answer_fn, fused_fast_answer_fn
 
-        table, h = self._table(query.group_size)
+        h = self.db.db_size // query.group_size
         if query.is_two_party and not query.is_keyword_based:
             payload, layout, dkey = self._index_payload(query, h)
             if payload is not None and query.key_fast is not None:
@@ -410,6 +406,7 @@ class TpuPirServer:
                 res = fused_fast_answer_storage_fn(layout)(words, payload)
                 return self._result_from_words(res, query.group_size)
             if payload is not None:
+                table, _ = self._table(query.group_size)
                 res = fused_answer_fn(layout)(
                     table, payload, self._perm(dkey.plan.num_bits, h)
                 )
