@@ -25,6 +25,7 @@ from .query import QueryShare, SecretSharedQueryResult, recover
 
 OP_METADATA = 1
 OP_QUERY = 2
+OP_QUERY_BATCH = 3
 OP_ERROR = 255
 
 
@@ -97,6 +98,30 @@ class PirService:
             return OP_METADATA, wire.serialize_metadata(
                 self.db.slot_bytes, self.db.db_size
             )
+        if opcode == OP_QUERY_BATCH:
+            # payload: u32 count ‖ (u32 len ‖ share)*
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            shares = []
+            for _ in range(count):
+                (ln,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                shares.append(wire.deserialize_query_share(payload[off:off + ln]))
+                off += ln
+            if self._tpu_server is not None:
+                results = self._tpu_server.private_secret_shared_query_batch(shares)
+            else:
+                from . import server as srv
+
+                results = [srv.private_secret_shared_query(self.db, s)
+                           for s in shares]
+            self.metrics["queries"] += count
+            self.metrics["bytes_scanned"] += count * self.db.db_size * self.db.slot_bytes
+            blobs = [wire.serialize_shared_result(r) for r in results]
+            out = struct.pack("<I", len(blobs)) + b"".join(
+                struct.pack("<I", len(b)) + b for b in blobs
+            )
+            return OP_QUERY_BATCH, out
         if opcode == OP_QUERY:
             share = wire.deserialize_query_share(payload)
             if self._tpu_server is not None:
@@ -145,6 +170,42 @@ class PirClient:
                 raise RuntimeError(payload.decode())
             results.append(wire.deserialize_shared_result(payload))
         return recover(results)
+
+    def query_index_batch(self, indices: list[int], group_size: int = 1,
+                          fast: bool = True):
+        """Batched retrieval: one round trip per server for all indices."""
+        from .query import new_index_query_shares
+
+        per_server: list[list[bytes]] = [[] for _ in self._socks]
+        for idx in indices:
+            shares = new_index_query_shares(
+                self.metadata, idx, group_size, len(self._socks), fast=fast
+            )
+            for k, share in enumerate(shares):
+                per_server[k].append(wire.serialize_query_share(share))
+        answers = []
+        for sock, blobs in zip(self._socks, per_server):
+            payload = struct.pack("<I", len(blobs)) + b"".join(
+                struct.pack("<I", len(b)) + b for b in blobs
+            )
+            _send_frame(sock, OP_QUERY_BATCH, payload)
+        for sock in self._socks:
+            op, payload = _recv_frame(sock)
+            if op == OP_ERROR:
+                raise RuntimeError(payload.decode())
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            results = []
+            for _ in range(count):
+                (ln,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                results.append(wire.deserialize_shared_result(payload[off:off + ln]))
+                off += ln
+            answers.append(results)
+        return [
+            recover([answers[k][i] for k in range(len(self._socks))])
+            for i in range(len(indices))
+        ]
 
     def close(self):
         for s in self._socks:

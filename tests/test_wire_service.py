@@ -125,3 +125,20 @@ def test_database_save_load(tmp_path):
     assert db2.db_size == 128 and db2.slot_bytes == 7
     assert (db2.data == db.data).all()
     assert (db2.keywords == db.keywords).all()
+
+
+def test_service_batch_endpoint():
+    rng = random.Random(2)
+    db = generate_random_db(1 << 10, 6)
+    s0 = PirService(db).start()
+    s1 = PirService(db).start()
+    try:
+        client = PirClient([s0.address, s1.address])
+        idxs = [rng.randrange(db.db_size) for _ in range(5)]
+        res = client.query_index_batch(idxs)
+        for i, r in zip(idxs, res):
+            assert Slot(db.data[i].tobytes()).equal(r[0]), i
+        client.close()
+    finally:
+        s0.close()
+        s1.close()
