@@ -98,6 +98,72 @@ def new_private_sqrt_st() -> PrivateSqrtST:
     return PrivateSqrtST()
 
 
+@dataclass
+class PrivateBST:
+    """Keyword PIR via a level-order binary search tree.
+
+    The reference names this as future work with better asymptotic
+    bandwidth than the sqrt tree (keyword.go:14-16): instead of shipping
+    sqrt(N) boundary keys in the clear, the client walks log2(N) levels,
+    issuing ONE single-slot PIR query per level against that level's
+    (tiny) boundary database, then a final data query. Total bandwidth
+    O(slot * log N) vs O(sqrt N * slot).
+
+    Privacy: each level's query is an independent PIR query (index within
+    the level is never revealed); the access *pattern* (one query per
+    level) is fixed and data-independent.
+
+    Requires power-of-two, descending-sorted input (pad_to_power_of_2 +
+    reverse sort, mirroring the sqrt tree's conventions).
+    """
+
+    levels: list[Database] = field(default_factory=list)  # level l: 2^l keys
+    data_layer: Database | None = None
+    num_keys: int = 0
+    depth: int = 0
+
+    def build_for_data(self, data: list[str]) -> None:
+        n = len(data)
+        if n & (n - 1):
+            raise ValueError("length of data is not a power of two")
+        for i in range(n - 1):
+            if data[i] < data[i + 1]:
+                raise ValueError("data not sorted")
+        self.num_keys = n
+        self.depth = n.bit_length() - 1
+        slot = get_required_slot_size(data)
+        self.levels = []
+        for lvl in range(self.depth):
+            step = n >> (lvl + 1)
+            # boundary key of node j at level lvl: data[(2j+1) * step]
+            keys = [data[(2 * j + 1) * step] for j in range(1 << lvl)]
+            db = new_database()
+            db.build_for_data_with_slot_size(keys, slot)
+            self.levels.append(db)
+        self.data_layer = new_database()
+        self.data_layer.build_for_data_with_slot_size(data, slot)
+
+    def lookup(self, key: str, query_level, query_data) -> tuple[int, list]:
+        """Walk the tree with caller-provided PIR oracles.
+
+        query_level(lvl, index) -> Slot at that node (via PIR);
+        query_data(index) -> recovered data slots. Returns (index, slots).
+        Descending order: go left (0-bit) when key > boundary.
+        """
+        node = 0
+        slot_bytes = self.data_layer.slot_bytes
+        probe = new_slot_from_string(key, slot_bytes)
+        for lvl in range(self.depth):
+            boundary = query_level(lvl, node)
+            bit = 0 if boundary.compare(probe) < 0 else 1
+            node = 2 * node + bit
+        return node, query_data(node)
+
+
+def new_private_bst() -> PrivateBST:
+    return PrivateBST()
+
+
 def pad_to_power_of_2(data: list[str]) -> list[str]:
     """keyword.go:100-114."""
     next_power = int(math.pow(2, math.ceil(math.log2(len(data)))))

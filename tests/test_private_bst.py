@@ -1,0 +1,65 @@
+"""PrivateBST keyword index (the reference's stated future work,
+keyword.go:14-16) — full PIR walk per level."""
+
+import random
+
+import pytest
+
+from pir_tpu import query as q
+from pir_tpu import server as srv
+from pir_tpu.keyword import new_private_bst, pad_to_power_of_2
+
+
+def _pir_oracles(bst):
+    """Two-server PIR oracles over the level and data databases."""
+
+    def query_level(lvl, index):
+        db = bst.levels[lvl]
+        shares = q.new_index_query_shares(db.metadata(), index, 1, 2)
+        res = q.recover([srv.private_secret_shared_query(db, s) for s in shares])
+        return res[0]
+
+    def query_data(index):
+        db = bst.data_layer
+        shares = q.new_index_query_shares(db.metadata(), index, 1, 2)
+        return q.recover([srv.private_secret_shared_query(db, s) for s in shares])
+
+    return query_level, query_data
+
+
+def test_private_bst_lookup():
+    rng = random.Random(0)
+    data = [f"key-{i:06d}" for i in range(700)]
+    data = pad_to_power_of_2(data)
+    data.sort()
+    data.reverse()
+
+    bst = new_private_bst()
+    bst.build_for_data(data)
+    assert bst.depth == 10
+    assert len(bst.levels[0].slots) == 1 and len(bst.levels[9].slots) == 512
+
+    query_level, query_data = _pir_oracles(bst)
+    for i in rng.sample(range(len(data)), 12):
+        key = data[i]
+        idx, slots = bst.lookup(key, query_level, query_data)
+        assert idx == i or data[idx] == key, (i, idx)
+        assert slots[0].to_string() == key
+
+
+def test_private_bst_rejects_bad_input():
+    bst = new_private_bst()
+    with pytest.raises(ValueError, match="power of two"):
+        bst.build_for_data(["c", "b", "a"])
+    with pytest.raises(ValueError, match="not sorted"):
+        bst.build_for_data(["a", "b", "c", "d"])
+
+
+def test_private_bst_bandwidth_advantage():
+    """log2(N) single-slot queries vs sqrt(N) cleartext boundary keys."""
+    data = sorted(pad_to_power_of_2([f"k{i}" for i in range(1 << 12)]),
+                  reverse=True)
+    bst = new_private_bst()
+    bst.build_for_data(data)
+    # per-lookup boundary traffic: depth slots vs sqrt tree's 2^6 keys
+    assert bst.depth == 12
