@@ -55,7 +55,7 @@ def main():
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
     slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
