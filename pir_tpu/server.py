@@ -153,11 +153,14 @@ class TpuPirServer:
 
     def __init__(self, db: Database, min_device_nodes: int = 32,
                  mxu_batch_threshold: int = 8, mxu_block: int = 8192,
-                 plane_table_budget: int = 8 << 30):
+                 plane_table_budget: int = 6 << 30):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
         self.mxu_block = mxu_block
+        # planes tables are 8x the packed table; the budget must leave
+        # HBM headroom for XLA operand repacks (observed ~2x transient on
+        # the int8 matmul operand), hence the conservative default.
         self.plane_table_budget = plane_table_budget
         self._plane_tables: dict[int, object] = {}
         self._storage_cache: dict[tuple, tuple] = {}
