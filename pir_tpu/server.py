@@ -356,12 +356,11 @@ class TpuPirServer:
             from .models.pipeline import fused_fast_bits_fn
 
             return fused_fast_bits_fn(layout)(payload, self._fast_perm(dkey))
-        pf = _server_dpf(self.db, query)
         if not query.is_two_party:
-            raise NotImplementedError(
-                "multi-party expansion has no device path (keygen is a stub "
-                "in the reference, dpf/client.go:152-156)"
-            )
+            # multi-party expansion stays host-side (the p2^{p-1}-slot
+            # PRG walk is sequential-per-row); the scan still runs on TPU
+            return expand_shared_query(self.db, query).astype(np.uint8)
+        pf = _server_dpf(self.db, query)
         if query.is_keyword_based:
             if query.group_size not in self._kw_planes:
                 self._kw_planes[query.group_size] = dev.pack_point_bit_planes(

@@ -57,3 +57,17 @@ def test_three_server_pir_end_to_end(num_shares):
         results = [srv.private_secret_shared_query(db, s) for s in shares]
         rec = q.recover(results)
         assert db.slot(idx).equal(rec[0]), idx
+
+
+def test_three_server_pir_tpu_engine():
+    """>=3-server queries through the TPU engine (host expand + device scan)."""
+    from pir_tpu.server import TpuPirServer
+
+    rng = random.Random(77)
+    db = generate_random_db(1 << 8, 6)
+    server = TpuPirServer(db)
+    idx = rng.randrange(db.db_size)
+    shares = q.new_index_query_shares(db.metadata(), idx, 1, 3)
+    results = [server.private_secret_shared_query(s) for s in shares]
+    rec = q.recover(results)
+    assert db.slot(idx).equal(rec[0])
