@@ -54,8 +54,8 @@ def main():
     from pir_tpu.slot import Slot
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
-    slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
