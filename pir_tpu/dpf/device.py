@@ -889,3 +889,37 @@ def eval_points_bits(dkey: DevicePointKey2P, xbit_planes: jnp.ndarray, n_points:
         dkey.fcw_mask,
         jnp.asarray(xbit_planes),
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _point_eval_batch_fn(num_bits: int, nw: int, n_points: int):
+    """vmap of the point-eval walk over a query batch."""
+    single = _point_eval_fn(num_bits, nw, n_points)
+
+    def fn(s_masks, t_masks, cw_s, cw_tl, cw_tr, rk, fcw, xbits):
+        return jax.vmap(
+            lambda sm, tm, cs, ctl, ctr, r, f: single(
+                sm, tm, cs, ctl, ctr, r, f, xbits
+            )
+        )(s_masks, t_masks, cw_s, cw_tl, cw_tr, rk, fcw)
+
+    return jax.jit(fn)
+
+
+def eval_points_bits_batch(dkeys: list, xbit_planes, n_points: int):
+    """(Q, n_points) uint8 selection bits; one dispatch for the batch.
+
+    All keys must share num_bits (always 32 for keyword mode)."""
+    nw = xbit_planes.shape[1]
+    fn = _point_eval_batch_fn(dkeys[0].num_bits, nw, n_points)
+    stack = lambda attr: jnp.stack([getattr(k, attr) for k in dkeys])
+    return fn(
+        stack("s_init_masks"),
+        stack("t_init_mask"),
+        stack("cw_seed_masks"),
+        stack("cw_tl"),
+        stack("cw_tr"),
+        stack("rk_masks"),
+        stack("fcw_mask"),
+        jnp.asarray(xbit_planes),
+    )

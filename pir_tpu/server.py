@@ -393,6 +393,40 @@ class TpuPirServer:
             self.db.slot_bytes, [Slot(out[c].tobytes()) for c in range(out.shape[0])]
         )
 
+    def _keyword_query_batch(self, queries):
+        """Batched keyword-mode answers: one vmapped 32-level DPF walk over
+        the keyword array + one batched scan."""
+        from .dpf import device as dev
+        from .ops.matmul_scan import mxu_preplane_scan
+
+        g = queries[0].group_size
+        _, h = self._table(g)
+        if g not in self._kw_planes:
+            self._kw_planes[g] = dev.pack_point_bit_planes(self.db.keywords[:h], 32)
+        dkeys = []
+        for query in queries:
+            if query.group_size != g or not query.is_two_party:
+                raise ValueError("keyword batch requires uniform 2-party queries")
+            pf = _server_dpf(self.db, query)
+            dkeys.append(dev.make_device_point_key(pf, query.key_two_party))
+        bits = dev.eval_points_bits_batch(dkeys, self._kw_planes[g], h)  # (Q,H)
+        planes = self._plane_table(g)
+        sb = self.db.slot_bytes
+        if planes is not None:
+            out = np.asarray(mxu_preplane_scan(planes, bits))
+            return [
+                SecretSharedQueryResult(
+                    sb, [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                         for c in range(g)]
+                )
+                for i in range(len(queries))
+            ]
+        from .ops.scan import masked_xor_scan_batched
+
+        table, _ = self._table(g)
+        res = np.asarray(masked_xor_scan_batched(table, bits))
+        return [self._result_from_words(res[i], g) for i in range(len(queries))]
+
     def private_secret_shared_query(self, query: QueryShare) -> SecretSharedQueryResult:
         """Single-dispatch fused expand+scan for 2-party index queries;
         falls back to expand-then-scan for keyword/multi-party/tiny cases."""
@@ -427,6 +461,8 @@ class TpuPirServer:
 
         g = queries[0].group_size
         fast = queries[0].key_fast is not None
+        if queries[0].is_keyword_based:
+            return self._keyword_query_batch(queries)
         table, h = self._table(g)
         payloads, layout, last_dkey = [], None, None
         for query in queries:

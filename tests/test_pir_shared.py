@@ -106,3 +106,22 @@ def test_compat_root_batched_path(db):
     for k, i in enumerate(idxs):
         res = q.recover([out0[k], out1[k]])
         assert db.slot(i).equal(res[0]), (k, i)
+
+
+def test_keyword_batched_queries(db):
+    """Batched keyword-mode answering on the device engine."""
+    import numpy as np
+
+    rng = random.Random(11)
+    if db.keywords is None:
+        db.set_keywords(np.array(rng.sample(range(1 << 32), db.db_size),
+                                 dtype=np.uint64))
+    server = TpuPirServer(db, mxu_batch_threshold=2)
+    rows = [rng.randrange(db.db_size) for _ in range(3)]
+    sh = [q.new_keyword_query_shares(db.metadata(), int(db.keywords[r]), 1, 2)
+          for r in rows]
+    out0 = server.private_secret_shared_query_batch([x[0] for x in sh])
+    out1 = server.private_secret_shared_query_batch([x[1] for x in sh])
+    for k, r in enumerate(rows):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(r).equal(res[0]), (k, r)
