@@ -55,7 +55,7 @@ def main():
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
     slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 1024))
-    batch = int(os.environ.get("BENCH_BATCH", 128))
+    batch = int(os.environ.get("BENCH_BATCH", 256))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
