@@ -168,9 +168,16 @@ def generate_multi_server(dpf: Dpf, a: int, b: int, num_parties: int) -> list[Ke
     * correction words satisfy XOR_i CW_i = XOR_i G(s_{gamma_a, i}) ^
       b*e_{delta_a}, making the surviving row sum to the point value.
 
-    Security: any single server's view (its presence vector + common
-    seeds) is independent of (a, b); collusion of p-1 servers is required
-    to break privacy, as in the reference's threat model.
+    Security (1-private, matching the non-colluding-servers threat model
+    the reference states for its multi-server setting): a single server's
+    view — its presence vectors plus the seeds on their support — is
+    independent of (a, b). Presence vectors are sampled subject to the
+    XOR constraint *and* re-sampled per row so no single party ever holds
+    ALL slots of a row: a party covering every slot of the target row
+    could otherwise detect it by checking XOR_i(G(s_i) ^ CW_i) for
+    sparsity. With the rejection step each party's per-row marginal is
+    identical for every row. Coalitions are not protected against (the
+    2-party DPF is likewise only 1-private).
     """
     if num_parties < 3:
         raise ValueError("use generate_two_server for 2 parties")
@@ -203,13 +210,30 @@ def generate_multi_server(dpf: Dpf, a: int, b: int, num_parties: int) -> list[Ke
     )
     cw[-1] = acc ^ np.bitwise_xor.reduce(g_words, axis=0) ^ target
 
-    # presence vectors: XOR_j v_j = all-ones at gamma_a else all-zeros
+    # presence vectors: XOR_j v_j = all-ones at gamma_a else all-zeros,
+    # rejection-sampled so no single party holds ALL slots of any row
+    # (see the privacy note in the docstring)
     v = np.frombuffer(
         os.urandom(n_gamma * (num_parties - 1) * p2), dtype=np.uint8
     ).reshape(num_parties - 1, n_gamma, p2) & 1
     v_last = np.bitwise_xor.reduce(v, axis=0)
     v_last[gamma_a] ^= 1
     v = np.concatenate([v, v_last[None]], axis=0)  # (p, n_gamma, p2)
+    for _ in range(64):
+        full = v.all(axis=2).any(axis=0)  # (n_gamma,) any party all-ones
+        if not full.any():
+            break
+        k = int(full.sum())
+        fresh = np.frombuffer(
+            os.urandom(k * (num_parties - 1) * p2), dtype=np.uint8
+        ).reshape(num_parties - 1, k, p2) & 1
+        v[:-1, full] = fresh
+        vl = np.bitwise_xor.reduce(fresh, axis=0)
+        rows = np.flatnonzero(full)
+        vl[rows == gamma_a] ^= 1
+        v[-1, full] = vl
+    else:  # pragma: no cover
+        raise RuntimeError("presence-vector sampling failed to converge")
 
     keys = []
     cw_list = [cw[i] for i in range(p2)]
