@@ -153,7 +153,8 @@ class TpuPirServer:
 
     def __init__(self, db: Database, min_device_nodes: int = 32,
                  mxu_batch_threshold: int = 8, mxu_block: int = 8192,
-                 plane_table_budget: int = 6 << 30):
+                 plane_table_budget: int = 6 << 30,
+                 compat_batch_chunk: int = 8):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
@@ -162,6 +163,10 @@ class TpuPirServer:
         # HBM headroom for XLA operand repacks (observed ~2x transient on
         # the int8 matmul operand), hence the conservative default.
         self.plane_table_budget = plane_table_budget
+        # compat expansion holds ~32x more VMEM/HBM intermediates per
+        # query than fast mode; large vmapped batches OOM, so compat
+        # batches run in chunks of this size.
+        self.compat_batch_chunk = compat_batch_chunk
         self._plane_tables: dict[int, object] = {}
         self._storage_cache: dict[tuple, tuple] = {}
         self._tables: dict[int, tuple] = {}
@@ -486,19 +491,24 @@ class TpuPirServer:
                     from .dpf.device import make_compat_payload_batch
                     from .models.pipeline import fused_compat_root_batch_fn
 
-                    pay, lo = make_compat_payload_batch(queries)
-                    out = np.asarray(
-                        fused_compat_root_batch_fn(lo)(planes, pay)
-                    )
                     sb = self.db.slot_bytes
-                    return [
-                        SecretSharedQueryResult(
-                            sb,
-                            [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
-                             for c in range(g)],
+                    results = []
+                    chunk = self.compat_batch_chunk
+                    for s0 in range(0, len(queries), chunk):
+                        part = queries[s0:s0 + chunk]
+                        if len(part) < chunk:  # keep one compiled shape
+                            part = part + part[: chunk - len(part)]
+                        pay, lo = make_compat_payload_batch(part)
+                        out = np.asarray(
+                            fused_compat_root_batch_fn(lo)(planes, pay)
                         )
-                        for i in range(len(queries))
-                    ]
+                        for i in range(min(chunk, len(queries) - s0)):
+                            results.append(SecretSharedQueryResult(
+                                sb,
+                                [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                                 for c in range(g)],
+                            ))
+                    return results
         if fast and len(queries) >= self.mxu_batch_threshold:
             from .dpf.device import make_fast_payload_batch
             from .models.pipeline import fused_fast_root_batch_fn
