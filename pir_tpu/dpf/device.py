@@ -552,13 +552,24 @@ def _fast_leaf_perm_root(depth: int, height: int) -> np.ndarray:
 
 @dataclass(frozen=True)
 class FastRootLayout:
+    """Bit-packed root-start payload: 187 + 4*depth uint32 words per query.
+
+    Key material is shipped packed (16-byte blocks as 4 uint32 words,
+    t-bit vectors as one word) and expanded into plane masks *on device*
+    inside the jit — a 32x smaller host->device transfer than shipping
+    the masks themselves, which dominates dispatch latency on relay-
+    attached TPUs.
+    """
+
     depth: int
     height: int
 
     @property
     def sizes(self):
         d = self.depth
-        return (128, 1, d * 128, d, d, 128, 11 * 8 * 3 * 16, 11 * 8 * 16)
+        # s_init, t_init, cw blocks, cw_tl bits, cw_tr bits, final CW,
+        # tree round keys (3 x 11 x 16B), leaf round keys (11 x 16B)
+        return (4, 1, 4 * d, 1, 1, 4, 132, 44)
 
     @property
     def total(self):
@@ -569,20 +580,44 @@ class FastRootLayout:
         return 128 << self.depth
 
 
+# (bit, byte) -> shift into the 4-word little-endian packing of a block
+_BLOCK_SHIFTS = ((np.arange(16) % 4) * 8 + np.arange(8)[:, None]).astype(np.uint32)
+_BLOCK_WORD = (np.arange(16) // 4).astype(np.int32)
+
+
+def _unpack_block_bits(words):
+    """(..., 4) uint32 packed 16-byte blocks -> (..., 8, 16) bits {0,1}."""
+    w = jnp.take(words, _BLOCK_WORD, axis=-1)  # (..., 16)
+    return (w[..., None, :] >> _BLOCK_SHIFTS) & jnp.uint32(1)
+
+
+def _unpack_block_masks(words):
+    """(..., 4) uint32 -> (..., 8, 16) masks 0/0xFFFFFFFF."""
+    return jnp.uint32(0) - _unpack_block_bits(words)
+
+
+def _unpack_bit_masks(word, n):
+    """scalar uint32 -> (n,) masks 0/0xFFFFFFFF from its low n bits."""
+    bits = (word >> jnp.arange(n, dtype=jnp.uint32)) & jnp.uint32(1)
+    return jnp.uint32(0) - bits
+
+
 def unpack_fast_root_payload(payload, layout: FastRootLayout):
+    """Device-side unpack + mask expansion (all shapes static under jit)."""
     d = layout.depth
     offs = np.cumsum((0,) + layout.sizes)
     seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
-    return (
-        seg[0].reshape(8, 16, 1),
-        seg[1],
-        seg[2].reshape(d, 8, 16, 1),
-        seg[3],
-        seg[4],
-        seg[5].reshape(8, 16, 1),
-        seg[6].reshape(11, 8, 3, 16, 1),
-        seg[7].reshape(11, 8, 16, 1),
-    )
+    seeds = _unpack_block_bits(seg[0])[..., None]  # (8,16,1) bit values
+    t_init = seg[1]  # (1,) mask word
+    cw_s = _unpack_block_masks(seg[2].reshape(d, 4))[..., None] if d else (
+        jnp.zeros((0, 8, 16, 1), jnp.uint32))
+    cw_tl = _unpack_bit_masks(seg[3][0], d)
+    cw_tr = _unpack_bit_masks(seg[4][0], d)
+    fcw = _unpack_block_masks(seg[5])[..., None]  # (8,16,1)
+    rk_tree = _unpack_block_masks(seg[6].reshape(3, 11, 4))  # (3,11,8,16)
+    rk = jnp.transpose(rk_tree, (1, 2, 0, 3))[..., None]  # (11,8,3,16,1)
+    rk_leaf = _unpack_block_masks(seg[7].reshape(11, 4))[..., None]
+    return seeds, t_init, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf
 
 
 def _bits_of_bytes_batch(data: np.ndarray) -> np.ndarray:
@@ -592,16 +627,19 @@ def _bits_of_bytes_batch(data: np.ndarray) -> np.ndarray:
     ).astype(np.uint32)
 
 
-def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
-    """Vectorised payload builder for a batch of fast-mode query shares.
+def _u32_view(a: np.ndarray) -> np.ndarray:
+    """(..., 16k) uint8 -> (..., 4k) little-endian uint32."""
+    return np.ascontiguousarray(a).view("<u4")
 
-    All heavy per-query host work (key schedules, mask building) runs as
-    numpy ops over the whole batch; the tree prefix that make_device_
-    fast_key computes on the host is instead expanded on device
-    (expand_planes_from_root).
+
+def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
+    """Vectorised bit-packed payload builder for fast-mode query shares.
+
+    All per-query host work is numpy over the whole batch; key material
+    ships packed (see FastRootLayout) and mask expansion plus the whole
+    tree walk happen on device (expand_planes_from_root).
     """
-    from .aes_host import key_schedule
-    from .bitslice import key_masks
+    from .aes_host import key_schedule_batch
 
     q_n = len(shares)
     k0 = shares[0].key_fast
@@ -615,7 +653,7 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
     s_init = np.stack([
         np.frombuffer(s.key_fast.s_init, np.uint8) for s in shares
     ])  # (Q, 16)
-    payload[:, offs[0]:offs[1]] = _bits_of_bytes_batch(s_init).reshape(q_n, 128)
+    payload[:, offs[0]:offs[1]] = _u32_view(s_init)
     payload[:, offs[1]] = np.array(
         [_full if s.key_fast.t_init else 0 for s in shares], np.uint32
     )
@@ -625,38 +663,40 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
             np.frombuffer(b"".join(s.key_fast.cw), np.uint8).reshape(depth, 18)
             for s in shares
         ])  # (Q, d, 18)
-        payload[:, offs[2]:offs[3]] = (
-            _bits_of_bytes_batch(cw[:, :, :16]) * _full
-        ).reshape(q_n, depth * 128)
-        payload[:, offs[3]:offs[4]] = (cw[:, :, 16] & 1).astype(np.uint32) * _full
-        payload[:, offs[4]:offs[5]] = (cw[:, :, 17] & 1).astype(np.uint32) * _full
+        payload[:, offs[2]:offs[3]] = _u32_view(
+            np.ascontiguousarray(cw[:, :, :16])
+        ).reshape(q_n, depth * 4)
+        lvl = np.arange(depth, dtype=np.uint32)
+        payload[:, offs[3]] = (
+            (cw[:, :, 16] & 1).astype(np.uint32) << lvl
+        ).sum(axis=1, dtype=np.uint32)
+        payload[:, offs[4]] = (
+            (cw[:, :, 17] & 1).astype(np.uint32) << lvl
+        ).sum(axis=1, dtype=np.uint32)
 
     fcw = np.stack([
         np.frombuffer(s.key_fast.final_cw_block, np.uint8) for s in shares
     ])
-    payload[:, offs[5]:offs[6]] = (
-        _bits_of_bytes_batch(fcw) * _full
-    ).reshape(q_n, 128)
-
-    # round keys: vectorised schedules + mask building
-    from .aes_host import key_schedule_batch
+    payload[:, offs[5]:offs[6]] = _u32_view(fcw)
 
     all_keys = np.stack([
         np.frombuffer(k.bytes, np.uint8) for s in shares for k in s.prf_keys
     ])  # (4Q, 16)
     rks = key_schedule_batch(all_keys).reshape(q_n, 4, 11, 16)
-    masks = key_masks(rks)  # (11, 8, 16, Q, 4)
-    tree = np.moveaxis(masks[..., :3], (0, 1, 2, 3, 4), (1, 2, 4, 0, 3))
-    payload[:, offs[6]:offs[7]] = np.ascontiguousarray(tree).reshape(q_n, -1)
-    leaf = np.moveaxis(masks[..., 3], (0, 1, 2, 3), (1, 2, 3, 0))
-    payload[:, offs[7]:offs[8]] = np.ascontiguousarray(leaf).reshape(q_n, -1)
+    payload[:, offs[6]:offs[7]] = _u32_view(
+        np.ascontiguousarray(rks[:, :3])
+    ).reshape(q_n, 132)
+    payload[:, offs[7]:offs[8]] = _u32_view(
+        np.ascontiguousarray(rks[:, 3])
+    ).reshape(q_n, 44)
 
     return payload, layout
 
 
 @dataclass(frozen=True)
 class CompatRootLayout:
-    """Root-start payload layout for the reference-exact (compat) mode."""
+    """Bit-packed root-start payload for the reference-exact (compat) mode
+    (same packing rationale as FastRootLayout)."""
 
     num_bits: int
     height: int
@@ -664,7 +704,9 @@ class CompatRootLayout:
     @property
     def sizes(self):
         d = self.num_bits
-        return (128, 1, d * 128, d, d, 1, 11 * 8 * 3 * 16)
+        # s_init, t_init, cw blocks, cw_tl bits, cw_tr bits, final-CW
+        # parity mask, tree round keys (3 x 11 x 16B)
+        return (4, 1, 4 * d, 1, 1, 1, 132)
 
     @property
     def total(self):
@@ -676,18 +718,17 @@ class CompatRootLayout:
 
 
 def unpack_compat_root_payload(payload, layout: CompatRootLayout):
+    """Device-side unpack + mask expansion (compat mode)."""
     d = layout.num_bits
     offs = np.cumsum((0,) + layout.sizes)
     seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
-    return (
-        seg[0].reshape(8, 16, 1),
-        seg[1],
-        seg[2].reshape(d, 8, 16, 1),
-        seg[3],
-        seg[4],
-        seg[5][0],
-        seg[6].reshape(11, 8, 3, 16, 1),
-    )
+    seeds = _unpack_block_bits(seg[0])[..., None]  # (8,16,1) bit values
+    cw_s = _unpack_block_masks(seg[2].reshape(d, 4))[..., None]
+    cw_tl = _unpack_bit_masks(seg[3][0], d)
+    cw_tr = _unpack_bit_masks(seg[4][0], d)
+    rk_tree = _unpack_block_masks(seg[6].reshape(3, 11, 4))  # (3,11,8,16)
+    rk = jnp.transpose(rk_tree, (1, 2, 0, 3))[..., None]
+    return seeds, seg[1], cw_s, cw_tl, cw_tr, seg[5][0], rk
 
 
 @functools.lru_cache(maxsize=64)
@@ -701,10 +742,9 @@ def _compat_leaf_perm_root(num_bits: int, height: int) -> np.ndarray:
 
 
 def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
-    """Vectorised payload builder for compat (reference-exact) shares."""
+    """Vectorised bit-packed payload builder for compat (reference-exact)
+    shares; see make_fast_payload_batch."""
     from .aes_host import key_schedule_batch
-    from .bitslice import key_masks
-    from ..utils.bits import num_bits_for_height
 
     q_n = len(shares)
     k0 = shares[0].key_two_party
@@ -718,7 +758,7 @@ def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
     s_init = np.stack([
         np.frombuffer(s.key_two_party.s_init, np.uint8) for s in shares
     ])
-    payload[:, offs[0]:offs[1]] = _bits_of_bytes_batch(s_init).reshape(q_n, 128)
+    payload[:, offs[0]:offs[1]] = _u32_view(s_init)
     payload[:, offs[1]] = np.array(
         [_full if s.key_two_party.t_init else 0 for s in shares], np.uint32
     )
@@ -726,11 +766,16 @@ def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
         np.frombuffer(b"".join(s.key_two_party.cw), np.uint8).reshape(num_bits, 18)
         for s in shares
     ])
-    payload[:, offs[2]:offs[3]] = (
-        _bits_of_bytes_batch(cw[:, :, :16]) * _full
-    ).reshape(q_n, num_bits * 128)
-    payload[:, offs[3]:offs[4]] = (cw[:, :, 16] & 1).astype(np.uint32) * _full
-    payload[:, offs[4]:offs[5]] = (cw[:, :, 17] & 1).astype(np.uint32) * _full
+    payload[:, offs[2]:offs[3]] = _u32_view(
+        np.ascontiguousarray(cw[:, :, :16])
+    ).reshape(q_n, num_bits * 4)
+    lvl = np.arange(num_bits, dtype=np.uint32)
+    payload[:, offs[3]] = (
+        (cw[:, :, 16] & 1).astype(np.uint32) << lvl
+    ).sum(axis=1, dtype=np.uint32)
+    payload[:, offs[4]] = (
+        (cw[:, :, 17] & 1).astype(np.uint32) << lvl
+    ).sum(axis=1, dtype=np.uint32)
     payload[:, offs[5]] = np.array(
         [_full if (s.key_two_party.final_cw & 1) else 0 for s in shares],
         np.uint32,
@@ -739,9 +784,9 @@ def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
         np.frombuffer(k.bytes, np.uint8) for s in shares for k in s.prf_keys[:3]
     ])
     rks = key_schedule_batch(all_keys).reshape(q_n, 3, 11, 16)
-    masks = key_masks(rks)  # (11, 8, 16, Q, 3)
-    tree = np.moveaxis(masks, (0, 1, 2, 3, 4), (1, 2, 4, 0, 3))
-    payload[:, offs[6]:offs[7]] = np.ascontiguousarray(tree).reshape(q_n, -1)
+    payload[:, offs[6]:offs[7]] = _u32_view(
+        np.ascontiguousarray(rks)
+    ).reshape(q_n, 132)
     return payload, layout
 
 

@@ -283,6 +283,43 @@ def fused_fast_root_batch_fn(layout):
 
 
 @functools.lru_cache(maxsize=64)
+def fused_fast_root_batch_mxu_fn(layout, block: int = 8192):
+    """Root-start batched fast answers, streaming MXU scan, gather-free.
+
+    jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8 against a
+    STORAGE-ORDERED u8 table (rows scattered by _fast_leaf_perm_root at
+    build). Used when the storage-ordered plane table exceeds the HBM
+    budget (e.g. 1 GiB+ tables): the raw u8 table is 8x smaller than the
+    plane table and is unpacked block-wise inside the scan; expanded bits
+    are consumed in flat storage order so no per-query gather runs.
+    """
+    from ..dpf.device import (
+        expand_planes_from_root,
+        fast_leaf_bits_flat,
+        unpack_fast_root_payload,
+    )
+    from ..ops.matmul_scan import mxu_batched_scan
+
+    def bits_of(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = (
+            unpack_fast_root_payload(payload, layout)
+        )
+        seeds, t = expand_planes_from_root(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, layout.depth
+        )
+        return fast_leaf_bits_flat(seeds, t, fcw, rk_leaf)
+
+    def fn(table_u8, payloads):
+        bits = jax.vmap(bits_of)(payloads)  # (Q, flat)
+        pad = table_u8.shape[0] - bits.shape[1]
+        if pad:
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        return mxu_batched_scan(table_u8, bits, block=block)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def fused_compat_root_batch_fn(layout):
     """Root-start batched COMPAT answers (reference-exact leaf semantics)
     against a bit-reversed-row plane table:

@@ -243,6 +243,29 @@ class TpuPirServer:
         self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
         return self._storage_cache[key]
 
+    def _root_table_u8(self, group_size: int, depth: int):
+        """Storage-ordered raw u8 table for the gather-free streaming MXU
+        fast path (1 GiB+ tables where the plane table is over budget)."""
+        import jax.numpy as jnp
+
+        from .dpf.device import (
+            _fast_leaf_perm_root,
+            scatter_rows_to_storage_order,
+        )
+        from .ops.matmul_scan import pad_rows_u8
+
+        key = ("root_u8", group_size, depth)
+        if key in self._storage_cache:
+            return self._storage_cache[key]
+        h = self.db.db_size // group_size
+        row_bytes = group_size * self.db.slot_bytes
+        flat = 128 << depth
+        perm = _fast_leaf_perm_root(depth, h)
+        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+        sc = scatter_rows_to_storage_order(rows, perm, flat)
+        self._storage_cache[key] = jnp.asarray(pad_rows_u8(sc, self.mxu_block))
+        return self._storage_cache[key]
+
     def _storage_tables(self, group_size: int, dkey):
         """Storage-ordered tables for the gather-free fast path: returns
         (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
@@ -455,6 +478,77 @@ class TpuPirServer:
         bits = self.expand_shared_query(query)
         return self.private_secret_shared_query_with_expanded_bits(query, bits)
 
+    def _slice_batch_results(
+        self, out: np.ndarray, group_size: int, n: int
+    ) -> list[SecretSharedQueryResult]:
+        sb = self.db.slot_bytes
+        return [
+            SecretSharedQueryResult(
+                sb,
+                [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                 for c in range(group_size)],
+            )
+            for i in range(n)
+        ]
+
+    def _fast_root_applicable(self, queries: list[QueryShare]) -> bool:
+        """Root-start expansion needs >= one full uint32 lane word of
+        leaves (depth >= 5); tiny domains answer via host bits instead."""
+        q0 = queries[0]
+        return (q0.key_fast is not None and not q0.is_keyword_based
+                and len(queries) >= self.mxu_batch_threshold
+                and q0.key_fast.depth >= 5)
+
+    def _dispatch_fast_root(self, queries: list[QueryShare]):
+        """Dispatch a uniform fast-mode batch through a root-start path;
+        returns the (Q, row_bytes) uint8 device array (async — not yet
+        fetched). The whole tree expands on device and the host payload
+        build is one vectorised pass over the batch (never per-query:
+        python-loop host work costs ~0.9 ms/query on the 1-core rig).
+        """
+        from .dpf.device import make_fast_payload_batch
+        from .models.pipeline import (
+            fused_fast_root_batch_fn,
+            fused_fast_root_batch_mxu_fn,
+        )
+
+        g = queries[0].group_size
+        depth = queries[0].key_fast.depth
+        pay, root_layout = make_fast_payload_batch(queries)
+        root_planes = self._root_plane_table(g, depth)
+        if root_planes is not None:
+            return fused_fast_root_batch_fn(root_layout)(root_planes, pay)
+        return fused_fast_root_batch_mxu_fn(root_layout, self.mxu_block)(
+            self._root_table_u8(g, depth), pay
+        )
+
+    def private_secret_shared_query_batch_async(
+        self, queries: list[QueryShare]
+    ):
+        """Dispatch a batch without waiting for the device; returns a
+        zero-arg callable producing the results. On the fast root-start
+        paths the device work proceeds asynchronously, so callers can
+        pipeline payload builds of the next batch against device compute
+        of this one; other paths compute eagerly."""
+        self._validate_batch(queries)
+        if self._fast_root_applicable(queries):
+            out_dev = self._dispatch_fast_root(queries)
+            g, n = queries[0].group_size, len(queries)
+            return lambda: self._slice_batch_results(np.asarray(out_dev), g, n)
+        res = self.private_secret_shared_query_batch(queries)
+        return lambda: res
+
+    def _validate_batch(self, queries: list[QueryShare]) -> None:
+        g = queries[0].group_size
+        fast = queries[0].key_fast is not None
+        if queries[0].is_keyword_based:
+            return  # keyword batches validate in _keyword_query_batch
+        for query in queries:
+            if query.group_size != g or not query.is_two_party or query.is_keyword_based:
+                raise ValueError("batch requires uniform 2-party index queries")
+            if (query.key_fast is not None) != fast:
+                raise ValueError("batch cannot mix fast and compat queries")
+
     def private_secret_shared_query_batch(
         self, queries: list[QueryShare]
     ) -> list[SecretSharedQueryResult]:
@@ -468,19 +562,11 @@ class TpuPirServer:
         fast = queries[0].key_fast is not None
         if queries[0].is_keyword_based:
             return self._keyword_query_batch(queries)
-        table, h = self._table(g)
-        payloads, layout, last_dkey = [], None, None
-        for query in queries:
-            if query.group_size != g or not query.is_two_party or query.is_keyword_based:
-                raise ValueError("batch requires uniform 2-party index queries")
-            if (query.key_fast is not None) != fast:
-                raise ValueError("batch cannot mix fast and compat queries")
-            p, lo, dkey = self._index_payload(query, h)
-            if p is None:
-                # tiny domain: no device expansion; answer individually
-                return [self.private_secret_shared_query(qq) for qq in queries]
-            payloads.append(p)
-            layout, last_dkey = lo, dkey
+        self._validate_batch(queries)
+        h = self.db.db_size // g
+        if self._fast_root_applicable(queries):
+            out = np.asarray(self._dispatch_fast_root(queries))
+            return self._slice_batch_results(out, g, len(queries))
         if (not fast) and len(queries) >= self.mxu_batch_threshold:
             from .utils.bits import num_bits_for_height
 
@@ -492,16 +578,18 @@ class TpuPirServer:
                     from .models.pipeline import fused_compat_root_batch_fn
 
                     sb = self.db.slot_bytes
-                    results = []
                     chunk = self.compat_batch_chunk
-                    for s0 in range(0, len(queries), chunk):
+                    starts = list(range(0, len(queries), chunk))
+                    outs = []
+                    for s0 in starts:  # dispatch all chunks (async)
                         part = queries[s0:s0 + chunk]
                         if len(part) < chunk:  # keep one compiled shape
                             part = part + part[: chunk - len(part)]
                         pay, lo = make_compat_payload_batch(part)
-                        out = np.asarray(
-                            fused_compat_root_batch_fn(lo)(planes, pay)
-                        )
+                        outs.append(fused_compat_root_batch_fn(lo)(planes, pay))
+                    results = []
+                    for s0, dev in zip(starts, outs):  # then fetch
+                        out = np.asarray(dev)
                         for i in range(min(chunk, len(queries) - s0)):
                             results.append(SecretSharedQueryResult(
                                 sb,
@@ -509,52 +597,15 @@ class TpuPirServer:
                                  for c in range(g)],
                             ))
                     return results
-        if fast and len(queries) >= self.mxu_batch_threshold:
-            from .dpf.device import make_fast_payload_batch
-            from .models.pipeline import fused_fast_root_batch_fn
-
-            root_planes = self._root_plane_table(g, queries[0].key_fast.depth)
-            if root_planes is not None:
-                pay, root_layout = make_fast_payload_batch(queries)
-                out = np.asarray(
-                    fused_fast_root_batch_fn(root_layout)(root_planes, pay)
-                )
-                sb = self.db.slot_bytes
-                return [
-                    SecretSharedQueryResult(
-                        sb,
-                        [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
-                         for c in range(g)],
-                    )
-                    for i in range(len(queries))
-                ]
-            planes, _ = self._storage_tables(g, last_dkey)
-            if planes is not None:
-                from .models.pipeline import fused_fast_answer_batch_storage_fn
-
-                out = np.asarray(
-                    fused_fast_answer_batch_storage_fn(layout)(
-                        planes, np.stack(payloads)
-                    )
-                )
-            else:
-                from .models.pipeline import fused_fast_answer_batch_mxu_fn
-
-                out = np.asarray(
-                    fused_fast_answer_batch_mxu_fn(layout, self.mxu_block)(
-                        self._table_u8(g), np.stack(payloads),
-                        self._fast_perm(last_dkey)
-                    )
-                )
-            sb = self.db.slot_bytes
-            return [
-                SecretSharedQueryResult(
-                    sb,
-                    [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
-                     for c in range(g)],
-                )
-                for i in range(len(queries))
-            ]
+        table, h = self._table(g)
+        payloads, layout, last_dkey = [], None, None
+        for query in queries:
+            p, lo, dkey = self._index_payload(query, h)
+            if p is None:
+                # tiny domain: no device expansion; answer individually
+                return [self.private_secret_shared_query(qq) for qq in queries]
+            payloads.append(p)
+            layout, last_dkey = lo, dkey
         if fast:
             res = fused_fast_answer_batch_fn(layout)(
                 table, np.stack(payloads), self._fast_perm(last_dkey)

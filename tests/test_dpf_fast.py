@@ -116,6 +116,28 @@ def test_fast_batched_queries_streaming_path():
         assert db.slot(i).equal(res[0]), (k, i)
 
 
+def test_fast_batched_queries_async_pipelined():
+    """Async batch API: dispatch two batches before finalizing either."""
+    rng = random.Random(8)
+    db = generate_random_db(1 << 13, 8)
+    tpu = TpuPirServer(db, mxu_batch_threshold=4)
+    idx_a = [rng.randrange(db.db_size) for _ in range(4)]
+    idx_b = [rng.randrange(db.db_size) for _ in range(4)]
+    sh_a = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+            for i in idx_a]
+    sh_b = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+            for i in idx_b]
+    fins = [
+        tpu.private_secret_shared_query_batch_async([x[s] for x in sh])
+        for sh in (sh_a, sh_b) for s in (0, 1)
+    ]
+    out = [f() for f in fins]
+    for idxs, (o0, o1) in ((idx_a, out[0:2]), (idx_b, out[2:4])):
+        for k, i in enumerate(idxs):
+            res = q.recover([o0[k], o1[k]])
+            assert db.slot(i).equal(res[0]), (k, i)
+
+
 def test_fast_root_batched_path():
     """Root-start device expansion (v2 batched path) vs host golden."""
     rng = random.Random(7)
