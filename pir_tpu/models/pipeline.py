@@ -320,6 +320,67 @@ def fused_fast_root_batch_mxu_fn(layout, block: int = 8192):
 
 
 @functools.lru_cache(maxsize=64)
+def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
+                                    block_cols: int = 512,
+                                    tail_levels: int = 2,
+                                    interpret: bool = False):
+    """Root-start batched fast answers with Pallas kernels on both hot
+    stages: the AES tail walk + leaf PRG run per-query in VMEM
+    (ops/pallas_expand.py) and the scan is the fused unpack+matmul
+    kernel (ops/pallas_scan.py). Table is the storage-ordered u8 table.
+
+    jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8.
+    """
+    from ..dpf.device import (
+        _expand_root_level,
+        unpack_fast_root_payload,
+    )
+    from ..ops.pallas_expand import fast_tail_expand_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_pallas
+
+    depth = layout.depth
+    tail = max(0, min(tail_levels, depth - 5))
+    head_levels = depth - tail
+
+    def head(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = (
+            unpack_fast_root_payload(payload, layout)
+        )
+        for i in range(head_levels):
+            seeds, t = _expand_root_level(
+                seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk, i
+            )
+        return (seeds, t[None, :], cw_s[head_levels:], cw_tl[head_levels:],
+                cw_tr[head_levels:], rk, fcw, rk_leaf)
+
+    def fn(table_u8, payloads):
+        seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf = jax.vmap(head)(
+            payloads
+        )
+        packed = fast_tail_expand_pallas(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
+            levels=tail, interpret=interpret,
+        )  # (Q, 8, 16, NWf)
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((packed[..., None] >> shifts) & jnp.uint32(1)).astype(
+            jnp.uint8
+        ).reshape(packed.shape[0], -1)  # (Q, flat)
+        pad = table_u8.shape[0] - bits.shape[1]
+        if pad:
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        rows, b = table_u8.shape
+        br = next(x for x in (block_rows, 2048, 1024, 512, 256, 128, rows)
+                  if rows % x == 0)
+        bc = block_cols if b % block_cols == 0 else b
+        return mxu_batched_scan_pallas(
+            table_u8, bits, block_rows=br, block_cols=bc,
+            interpret=interpret,
+        )
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def fused_compat_root_batch_fn(layout):
     """Root-start batched COMPAT answers (reference-exact leaf semantics)
     against a bit-reversed-row plane table:

@@ -14,8 +14,74 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _planes_scan_kernel(bits_ref, table_ref, o_ref, acc_ref):
+    """One (row-block, col-block) step of the batched bit-plane scan.
+
+    Unpacks the u8 table tile into its 8 bit-planes in VMEM and folds
+    each plane's (Q, BR) x (BR, BC) int8 MXU matmul parity into a
+    resident accumulator — the plane tensors never touch HBM (the XLA
+    version materialises ~8x the table per batch).
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rows = table_ref[...]  # (BR, BC) uint8
+    bblk = bits_ref[...].astype(jnp.int8)  # (Q, BR)
+    folded = jnp.zeros(acc_ref.shape, jnp.int32)
+    for p in range(8):
+        # mask-and-compare (Mosaic cannot legalize i8 vector shifts)
+        plane = (rows & np.uint8(1 << p) != 0).astype(jnp.int8)
+        d = jnp.dot(bblk, plane, preferred_element_type=jnp.int32)
+        folded = folded | ((d & 1) << p)
+    # parity of a sum = XOR of per-block parities, independently per plane
+    acc_ref[...] ^= folded
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
+def mxu_batched_scan_pallas(
+    table_u8: jnp.ndarray,
+    bits: jnp.ndarray,
+    block_rows: int = 2048,
+    block_cols: int = 512,
+    interpret: bool = False,
+):
+    """table (H, B) uint8, bits (Q, H) {0,1} -> (Q, B) uint8 XOR-scan.
+
+    Hand-scheduled form of ops/matmul_scan.mxu_batched_scan (bit-for-bit
+    identical; tests/test_pallas_scan.py). H % block_rows == 0 and
+    B % block_cols == 0 (pad with zero rows — XOR-neutral).
+    """
+    h, b = table_u8.shape
+    q = bits.shape[0]
+    assert h % block_rows == 0 and b % block_cols == 0, (h, b)
+    grid = (b // block_cols, h // block_rows)
+    return pl.pallas_call(
+        _planes_scan_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, block_rows), lambda j, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, block_cols), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q, block_cols), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q, b), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((q, block_cols), jnp.int32)],
+        interpret=interpret,
+    )(bits, table_u8)
 
 
 def _scan_kernel(bits_ref, table_ref, o_ref):

@@ -154,11 +154,21 @@ class TpuPirServer:
     def __init__(self, db: Database, min_device_nodes: int = 32,
                  mxu_batch_threshold: int = 8, mxu_block: int = 8192,
                  plane_table_budget: int = 6 << 30,
-                 compat_batch_chunk: int = 8):
+                 compat_batch_chunk: int = 8,
+                 use_pallas: bool | None = None,
+                 pallas_tail_levels: int = 2):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
         self.mxu_block = mxu_block
+        # Pallas kernels (fused AES tail walk + fused unpack/matmul scan)
+        # serve fast batches against the storage-ordered raw u8 table:
+        # less HBM traffic AND residency than the 8x plane table. Auto-
+        # resolves to False off-TPU (CPU pallas_call requires interpret;
+        # force use_pallas=True there to exercise the kernels in
+        # interpret mode, as tests/test_pallas_expand.py does directly).
+        self._use_pallas = use_pallas
+        self.pallas_tail_levels = pallas_tail_levels
         # planes tables are 8x the packed table; the budget must leave
         # HBM headroom for XLA operand repacks (observed ~2x transient on
         # the int8 matmul operand), hence the conservative default.
@@ -510,11 +520,21 @@ class TpuPirServer:
         from .models.pipeline import (
             fused_fast_root_batch_fn,
             fused_fast_root_batch_mxu_fn,
+            fused_fast_root_batch_pallas_fn,
         )
 
         g = queries[0].group_size
         depth = queries[0].key_fast.depth
         pay, root_layout = make_fast_payload_batch(queries)
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = self._use_pallas if self._use_pallas is not None else on_tpu
+        if use_pallas:
+            return fused_fast_root_batch_pallas_fn(
+                root_layout, tail_levels=self.pallas_tail_levels,
+                interpret=not on_tpu,
+            )(self._root_table_u8(g, depth), pay)
         root_planes = self._root_plane_table(g, depth)
         if root_planes is not None:
             return fused_fast_root_batch_fn(root_layout)(root_planes, pay)
