@@ -55,7 +55,7 @@ def main():
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
     slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 1024))
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
@@ -120,7 +120,7 @@ def main():
     # async batch API keeps the device busy while the host builds the
     # next batch's payloads and fetches the previous results.
     pipe_reps = int(os.environ.get("BENCH_PIPE_REPS", max(8, reps)))
-    pipe_depth = int(os.environ.get("BENCH_PIPE_DEPTH", 2))
+    pipe_depth = int(os.environ.get("BENCH_PIPE_DEPTH", 3))
     pipe_batches = [make_batch()[0] for _ in range(pipe_reps)]
     t0 = time.perf_counter()
     fins, n_out = [], 0
