@@ -617,6 +617,22 @@ class TpuPirServer:
                                  for c in range(g)],
                             ))
                     return results
+        if (not fast) and len(queries) > self.compat_batch_chunk:
+            # Compat fallback (root plane table over budget): the vmapped
+            # full-depth expansion holds ~200 MB of intermediates per
+            # query, so large batches must run in chunks. Pad the tail
+            # chunk to keep one compiled shape.
+            chunk = self.compat_batch_chunk
+            results = []
+            for s0 in range(0, len(queries), chunk):
+                part = queries[s0:s0 + chunk]
+                take = len(part)
+                if take < chunk:
+                    part = part + part[: chunk - take]
+                results.extend(
+                    self.private_secret_shared_query_batch(part)[:take]
+                )
+            return results
         table, h = self._table(g)
         payloads, layout, last_dkey = [], None, None
         for query in queries:

@@ -108,6 +108,23 @@ def test_compat_root_batched_path(db):
         assert db.slot(i).equal(res[0]), (k, i)
 
 
+def test_compat_fallback_chunked_batch(db):
+    """Compat batch larger than the chunk size, with the root plane
+    table forced over budget: must chunk the vmapped fallback."""
+    import random
+
+    rng = random.Random(11)
+    server = TpuPirServer(db, mxu_batch_threshold=4, plane_table_budget=0,
+                          compat_batch_chunk=4)
+    idxs = [rng.randrange(db.db_size) for _ in range(10)]
+    sh = [q.new_index_query_shares(db.metadata(), i, 1, 2) for i in idxs]
+    out0 = server.private_secret_shared_query_batch([x[0] for x in sh])
+    out1 = server.private_secret_shared_query_batch([x[1] for x in sh])
+    for k, i in enumerate(idxs):
+        res = q.recover([out0[k], out1[k]])
+        assert db.slot(i).equal(res[0]), (k, i)
+
+
 def test_keyword_batched_queries(db):
     """Batched keyword-mode answering on the device engine."""
     import numpy as np
