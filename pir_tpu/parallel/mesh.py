@@ -39,8 +39,22 @@ from ..ops.scan import xor_reduce
 
 
 def make_mesh(n_devices: int | None = None, dp: int = 1) -> Mesh:
-    devs = jax.devices()[: n_devices or len(jax.devices())]
-    tp = len(devs) // dp
+    avail = jax.devices()
+    n = n_devices or len(avail)
+    if n > len(avail):
+        raise ValueError(
+            f"requested a {n}-device mesh but this process sees only "
+            f"{len(avail)} JAX device(s) on platform "
+            f"'{avail[0].platform}'. For a virtual multi-device CPU mesh "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count=<n> AND "
+            "force the cpu platform via jax.config.update('jax_platforms', "
+            "'cpu') before first JAX use (the env var alone can be "
+            "overridden by site configuration)."
+        )
+    if dp < 1 or n % dp != 0:
+        raise ValueError(f"dp={dp} must be >= 1 and divide n_devices={n}")
+    devs = avail[:n]
+    tp = n // dp
     return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
 
 
