@@ -1,4 +1,11 @@
-"""End-to-end demo: two non-colluding PIR services + a client.
+"""End-to-end demo: non-colluding PIR services + a client, over TCP.
+
+Exercises all four served protocol families (SURVEY.md §7 step 8):
+  1. secret-shared index PIR (2 servers)
+  2. keyword PIR via the sqrt search tree (keyword.go:76-90)
+  3. single-server cPIR under Paillier (db.go:176-271)
+  4. recursive (doubly-encrypted) cPIR (db.go:273-358)
+plus a local ASPIR audit round (aspir_shared.py).
 
 Runs everything in one process (the reference's test strategy) on CPU;
 swap PirService(use_tpu=True) on a TPU host. Usage: python examples/demo.py
@@ -8,20 +15,19 @@ import sys
 
 sys.path.insert(0, ".")
 
-import numpy as np
-
-from pir_tpu import generate_random_db, new_index_query_shares, recover
+from pir_tpu import generate_random_db
 from pir_tpu.aspir_shared import (
     check_audit,
     generate_audit_for_shared_query,
     new_authenticated_index_query_shares,
 )
+from pir_tpu.crypto.paillier import keygen
 from pir_tpu.keyword import new_private_sqrt_st, pad_to_sqrt
 from pir_tpu.service import PirClient, PirService
 
 
 def main():
-    # --- plain 2-server index PIR over TCP ---
+    # --- 1. plain 2-server index PIR over TCP ---
     db = generate_random_db(1 << 12, 32)
     s0 = PirService(db).start()
     s1 = PirService(db).start()
@@ -31,21 +37,41 @@ def main():
     assert bytes(res[0].data) == db.data[idx].tobytes()
     print(f"index PIR: privately fetched row {idx} "
           f"({db.db_size} rows x {db.slot_bytes} B) OK")
+
+    # --- 3+4. single-server cPIR against one of the same services ---
+    sk, pk = keygen(512)
+    width, _ = db.get_dimensions_for_database(64, 1)
+    row = 17
+    slots = client.query_encrypted(row, sk, pk)
+    assert bytes(slots[0].data) == db.data[row * width].tobytes()
+    print(f"cPIR: retrieved grid row {row} from ONE server "
+          f"({len(slots)} slots, Paillier {pk.n.bit_length()}-bit) OK")
+
+    target = 2718
+    slots = client.query_encrypted_recursive(target, sk, pk)
+    assert bytes(slots[0].data) == db.data[target].tobytes()
+    print(f"recursive cPIR: retrieved slot {target} with O(sqrt N) upload OK")
+
+    stats = client.get_metrics()
+    print(f"server metrics: {stats['queries']} queries, "
+          f"p50 {stats['p50_ms']:.1f} ms, engine={stats['engine']}")
     client.close(); s0.close(); s1.close()
 
-    # --- keyword PIR via sqrt search tree (local roles) ---
+    # --- 2. keyword PIR via sqrt search tree, over TCP ---
     data = sorted(pad_to_sqrt([f"user-{i:05d}" for i in range(900)]), reverse=True)
     sqst = new_private_sqrt_st()
     sqst.build_for_data(data)
+    k0 = PirService(sqrt_st=sqst).start()
+    k1 = PirService(sqrt_st=sqst).start()
+    kclient = PirClient([k0.address, k1.address])
     key = "user-00417"
-    row = sqst.find_bucket(key)
-    shares = new_index_query_shares(
-        sqst.get_second_layer_metadata(), row, sqst.height, 2, fast=True)
-    recovered = recover([sqst.private_query(s) for s in shares])
-    col = sqst.find_in_row(recovered, key)
-    found = data[row * sqst.width + col]
-    assert found == key
-    print(f"keyword PIR: found {key!r} privately (bucket {row}, col {col}) OK")
+    present, gidx, _ = kclient.query_keyword(key)
+    assert present and data[gidx] == key
+    print(f"keyword PIR: found {key!r} privately over TCP (index {gidx}) OK")
+    present, _, _ = kclient.query_keyword("user-55555")
+    assert not present
+    print("keyword PIR: absent key correctly not found OK")
+    kclient.close(); k0.close(); k1.close()
 
     # --- authenticated (ASPIR) shared query with audit ---
     keydb = generate_random_db(1 << 10, 8)

@@ -14,6 +14,7 @@ by data-parallel lanes; there is no semantic equivalent of nprocs.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -22,6 +23,9 @@ from .database import Database
 from .dpf import host as dpf_host
 from .query import QueryShare, SecretSharedQueryResult
 from .slot import Slot
+
+
+_MISS = object()  # cache-miss sentinel (None is a legitimate cached value)
 
 
 def _dims(db: Database, query: QueryShare) -> tuple[int, int]:
@@ -183,166 +187,190 @@ class TpuPirServer:
         self._tables_u8: dict[int, object] = {}
         self._kw_planes: dict[int, object] = {}
         self._perms: dict[tuple, object] = {}
+        # table/plane population runs under a lock: the TCP service wraps
+        # this server in a ThreadingTCPServer, and two concurrent first
+        # queries must not upload the same (possibly GiB-sized) table twice
+        self._cache_lock = threading.RLock()
+
+    def _cached(self, store: dict, key, build):
+        """Double-checked cache population (None is a valid cached value)."""
+        val = store.get(key, _MISS)
+        if val is _MISS:
+            with self._cache_lock:
+                val = store.get(key, _MISS)
+                if val is _MISS:
+                    val = build()
+                    store[key] = val
+        return val
 
     def _plane_table(self, group_size: int):
         """Precomputed bit-plane table for the one-matmul batched scan,
         or None if it would exceed the memory budget."""
-        if group_size in self._plane_tables:
-            return self._plane_tables[group_size]
-        h = self.db.db_size // group_size
-        row_bytes = group_size * self.db.slot_bytes
-        if h * row_bytes * 8 > self.plane_table_budget:
-            self._plane_tables[group_size] = None
-            return None
-        import jax.numpy as jnp
 
-        from .ops.matmul_scan import make_plane_table
+        def build():
+            h = self.db.db_size // group_size
+            row_bytes = group_size * self.db.slot_bytes
+            if h * row_bytes * 8 > self.plane_table_budget:
+                return None
+            import jax.numpy as jnp
 
-        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
-        self._plane_tables[group_size] = jnp.asarray(make_plane_table(rows))
-        return self._plane_tables[group_size]
+            from .ops.matmul_scan import make_plane_table
+
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            return jnp.asarray(make_plane_table(rows))
+
+        return self._cached(self._plane_tables, group_size, build)
 
     def _root_plane_table(self, group_size: int, depth: int):
         """Storage-ordered (bit-reversed leaves) plane table for the
         root-start batched path; None if over the memory budget."""
-        import jax.numpy as jnp
 
-        from .dpf.device import (
-            _fast_leaf_perm_root,
-            scatter_rows_to_storage_order,
-        )
-        from .ops.matmul_scan import make_plane_table
+        def build():
+            import jax.numpy as jnp
 
-        key = ("root", group_size, depth)
-        if key in self._storage_cache:
-            return self._storage_cache[key]
-        h = self.db.db_size // group_size
-        row_bytes = group_size * self.db.slot_bytes
-        flat = 128 << depth
-        if flat * row_bytes * 8 > self.plane_table_budget:
-            self._storage_cache[key] = None
-            return None
-        perm = _fast_leaf_perm_root(depth, h)
-        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
-        sc = scatter_rows_to_storage_order(rows, perm, flat)
-        self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
-        return self._storage_cache[key]
+            from .dpf.device import (
+                _fast_leaf_perm_root,
+                scatter_rows_to_storage_order,
+            )
+            from .ops.matmul_scan import make_plane_table
+
+            h = self.db.db_size // group_size
+            row_bytes = group_size * self.db.slot_bytes
+            flat = 128 << depth
+            if flat * row_bytes * 8 > self.plane_table_budget:
+                return None
+            perm = _fast_leaf_perm_root(depth, h)
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            sc = scatter_rows_to_storage_order(rows, perm, flat)
+            return jnp.asarray(make_plane_table(sc))
+
+        return self._cached(self._storage_cache, ("root", group_size, depth), build)
 
     def _compat_root_plane_table(self, group_size: int, num_bits: int):
         """Bit-reversed-row plane table for the batched compat path."""
-        import jax.numpy as jnp
 
-        from .dpf.device import (
-            _compat_leaf_perm_root,
-            scatter_rows_to_storage_order,
+        def build():
+            import jax.numpy as jnp
+
+            from .dpf.device import (
+                _compat_leaf_perm_root,
+                scatter_rows_to_storage_order,
+            )
+            from .ops.matmul_scan import make_plane_table
+
+            h = self.db.db_size // group_size
+            row_bytes = group_size * self.db.slot_bytes
+            flat = 1 << num_bits
+            if flat * row_bytes * 8 > self.plane_table_budget:
+                return None
+            perm = _compat_leaf_perm_root(num_bits, h)
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            sc = scatter_rows_to_storage_order(rows, perm, flat)
+            return jnp.asarray(make_plane_table(sc))
+
+        return self._cached(
+            self._storage_cache, ("compat_root", group_size, num_bits), build
         )
-        from .ops.matmul_scan import make_plane_table
-
-        key = ("compat_root", group_size, num_bits)
-        if key in self._storage_cache:
-            return self._storage_cache[key]
-        h = self.db.db_size // group_size
-        row_bytes = group_size * self.db.slot_bytes
-        flat = 1 << num_bits
-        if flat * row_bytes * 8 > self.plane_table_budget:
-            self._storage_cache[key] = None
-            return None
-        perm = _compat_leaf_perm_root(num_bits, h)
-        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
-        sc = scatter_rows_to_storage_order(rows, perm, flat)
-        self._storage_cache[key] = jnp.asarray(make_plane_table(sc))
-        return self._storage_cache[key]
 
     def _root_table_u8(self, group_size: int, depth: int):
         """Storage-ordered raw u8 table for the gather-free streaming MXU
         fast path (1 GiB+ tables where the plane table is over budget)."""
-        import jax.numpy as jnp
 
-        from .dpf.device import (
-            _fast_leaf_perm_root,
-            scatter_rows_to_storage_order,
+        def build():
+            import jax.numpy as jnp
+
+            from .dpf.device import (
+                _fast_leaf_perm_root,
+                scatter_rows_to_storage_order,
+            )
+            from .ops.matmul_scan import pad_rows_u8
+
+            h = self.db.db_size // group_size
+            row_bytes = group_size * self.db.slot_bytes
+            flat = 128 << depth
+            perm = _fast_leaf_perm_root(depth, h)
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            sc = scatter_rows_to_storage_order(rows, perm, flat)
+            return jnp.asarray(pad_rows_u8(sc, self.mxu_block))
+
+        return self._cached(
+            self._storage_cache, ("root_u8", group_size, depth), build
         )
-        from .ops.matmul_scan import pad_rows_u8
-
-        key = ("root_u8", group_size, depth)
-        if key in self._storage_cache:
-            return self._storage_cache[key]
-        h = self.db.db_size // group_size
-        row_bytes = group_size * self.db.slot_bytes
-        flat = 128 << depth
-        perm = _fast_leaf_perm_root(depth, h)
-        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
-        sc = scatter_rows_to_storage_order(rows, perm, flat)
-        self._storage_cache[key] = jnp.asarray(pad_rows_u8(sc, self.mxu_block))
-        return self._storage_cache[key]
 
     def _storage_tables(self, group_size: int, dkey):
         """Storage-ordered tables for the gather-free fast path: returns
         (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
         (group size, expansion geometry)."""
-        import jax.numpy as jnp
-
-        from .dpf.device import _fast_leaf_perm, scatter_rows_to_storage_order
-
         d, mp = dkey.plan.device_levels, dkey.plan.m_padded
-        key = (group_size, d, mp)
-        if key in self._storage_cache:
-            return self._storage_cache[key]
-        h = self.db.db_size // group_size
-        flat = (mp << d) * 128
-        perm = _fast_leaf_perm(d, h, mp)
-        row_bytes = group_size * self.db.slot_bytes
-        rows = self.db.data[: h * group_size].reshape(h, row_bytes)
-        sc_rows = scatter_rows_to_storage_order(rows, perm, flat)
-        # u32 word table only (the batched MXU path uses _root_plane_table)
-        arr = np.zeros((flat, group_size, -(-self.db.slot_bytes // 4) * 4),
-                       dtype=np.uint8)
-        arr[:, :, : self.db.slot_bytes] = sc_rows.reshape(
-            flat, group_size, self.db.slot_bytes
-        )
-        words = jnp.asarray(arr.view("<u4").reshape(flat, -1))
-        self._storage_cache[key] = (None, words)
-        return self._storage_cache[key]
+
+        def build():
+            import jax.numpy as jnp
+
+            from .dpf.device import (
+                _fast_leaf_perm,
+                scatter_rows_to_storage_order,
+            )
+
+            h = self.db.db_size // group_size
+            flat = (mp << d) * 128
+            perm = _fast_leaf_perm(d, h, mp)
+            row_bytes = group_size * self.db.slot_bytes
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            sc_rows = scatter_rows_to_storage_order(rows, perm, flat)
+            # u32 word table only (the batched MXU path uses _root_plane_table)
+            arr = np.zeros((flat, group_size, -(-self.db.slot_bytes // 4) * 4),
+                           dtype=np.uint8)
+            arr[:, :, : self.db.slot_bytes] = sc_rows.reshape(
+                flat, group_size, self.db.slot_bytes
+            )
+            words = jnp.asarray(arr.view("<u4").reshape(flat, -1))
+            return (None, words)
+
+        return self._cached(self._storage_cache, (group_size, d, mp), build)
 
     def _table_u8(self, group_size: int):
         """uint8 row-major table padded for the MXU bit-plane scan."""
-        import jax.numpy as jnp
 
-        from .ops.matmul_scan import pad_rows_u8
+        def build():
+            import jax.numpy as jnp
 
-        if group_size not in self._tables_u8:
+            from .ops.matmul_scan import pad_rows_u8
+
             h = self.db.db_size // group_size
             rows = self.db.data[: h * group_size].reshape(
                 h, group_size * self.db.slot_bytes
             )
-            self._tables_u8[group_size] = jnp.asarray(
-                pad_rows_u8(rows, self.mxu_block)
-            )
-        return self._tables_u8[group_size]
+            return jnp.asarray(pad_rows_u8(rows, self.mxu_block))
+
+        return self._cached(self._tables_u8, group_size, build)
 
     def _table(self, group_size: int):
-        import jax.numpy as jnp
+        def build():
+            import jax.numpy as jnp
 
-        from .ops.scan import pack_table_u32
+            from .ops.scan import pack_table_u32
 
-        if group_size not in self._tables:
             h = self.db.db_size // group_size
             tbl = pack_table_u32(self.db.data, h, group_size)
-            self._tables[group_size] = (jnp.asarray(tbl), h)
-        return self._tables[group_size]
+            return (jnp.asarray(tbl), h)
+
+        return self._cached(self._tables, group_size, build)
 
     def _perm(self, num_bits: int, height: int):
         """Device-resident leaf permutation, shared across queries."""
-        import jax.numpy as jnp
 
-        from .dpf.device import _leaf_perm
+        def build():
+            import jax.numpy as jnp
 
-        key = (num_bits, height, self.min_device_nodes)
-        if key not in self._perms:
-            self._perms[key] = jnp.asarray(
+            from .dpf.device import _leaf_perm
+
+            return jnp.asarray(
                 _leaf_perm(num_bits, height, self.min_device_nodes)
             )
-        return self._perms[key]
+
+        return self._cached(
+            self._perms, (num_bits, height, self.min_device_nodes), build
+        )
 
     def _index_payload(self, query: QueryShare, height: int):
         from .dpf.device import (
@@ -370,17 +398,29 @@ class TpuPirServer:
 
     def _fast_perm(self, dkey):
         """Device-resident fast-mode leaf permutation (shared per shape)."""
-        import jax.numpy as jnp
 
-        key = ("fast", dkey.plan.device_levels, dkey.height, dkey.plan.m_padded)
-        if key not in self._perms:
+        def build():
+            import jax.numpy as jnp
+
             from .dpf.device import _fast_leaf_perm
 
-            self._perms[key] = jnp.asarray(
+            return jnp.asarray(
                 _fast_leaf_perm(dkey.plan.device_levels, dkey.height,
                                 dkey.plan.m_padded)
             )
-        return self._perms[key]
+
+        key = ("fast", dkey.plan.device_levels, dkey.height, dkey.plan.m_padded)
+        return self._cached(self._perms, key, build)
+
+    def _kw_plane_table(self, group_size: int, height: int):
+        """Device-resident keyword bit-planes, shared across queries."""
+
+        def build():
+            from .dpf import device as dev
+
+            return dev.pack_point_bit_planes(self.db.keywords[:height], 32)
+
+        return self._cached(self._kw_planes, group_size, build)
 
     def expand_shared_query(self, query: QueryShare):
         """Device DPF expansion -> (H,) uint8 bits (device array)."""
@@ -400,12 +440,9 @@ class TpuPirServer:
             return expand_shared_query(self.db, query).astype(np.uint8)
         pf = _server_dpf(self.db, query)
         if query.is_keyword_based:
-            if query.group_size not in self._kw_planes:
-                self._kw_planes[query.group_size] = dev.pack_point_bit_planes(
-                    self.db.keywords[:h], 32
-                )
+            planes = self._kw_plane_table(query.group_size, h)
             dkey = dev.make_device_point_key(pf, query.key_two_party)
-            return dev.eval_points_bits(dkey, self._kw_planes[query.group_size], h)
+            return dev.eval_points_bits(dkey, planes, h)
         dkey = dev.make_device_key(
             pf, query.key_two_party, h, self.min_device_nodes
         )
@@ -439,15 +476,14 @@ class TpuPirServer:
 
         g = queries[0].group_size
         _, h = self._table(g)
-        if g not in self._kw_planes:
-            self._kw_planes[g] = dev.pack_point_bit_planes(self.db.keywords[:h], 32)
+        kw_planes = self._kw_plane_table(g, h)
         dkeys = []
         for query in queries:
             if query.group_size != g or not query.is_two_party:
                 raise ValueError("keyword batch requires uniform 2-party queries")
             pf = _server_dpf(self.db, query)
             dkeys.append(dev.make_device_point_key(pf, query.key_two_party))
-        bits = dev.eval_points_bits_batch(dkeys, self._kw_planes[g], h)  # (Q,H)
+        bits = dev.eval_points_bits_batch(dkeys, kw_planes, h)  # (Q,H)
         planes = self._plane_table(g)
         sb = self.db.slot_bytes
         if planes is not None:

@@ -20,11 +20,12 @@ class ServerMetrics:
     started_at: float = field(default_factory=time.time)
 
     @contextlib.contextmanager
-    def timed_query(self, scan_bytes: int):
+    def timed_query(self, scan_bytes: int, n: int = 1):
+        """Time a request handling `n` queries scanning `scan_bytes` total."""
         t0 = time.perf_counter()
         yield
         dt = time.perf_counter() - t0
-        self.queries += 1
+        self.queries += n
         self.bytes_scanned += scan_bytes
         self.latencies_s.append(dt)
         if len(self.latencies_s) > 10000:

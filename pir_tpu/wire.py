@@ -242,13 +242,126 @@ def deserialize_encrypted_result(data: bytes, pk):
     return EncryptedQueryResult(slots, pk, slot_bytes, per_ct)
 
 
+# ---- recursive (doubly-encrypted) queries ----
+
+MSG_DOUBLY_ENCRYPTED_QUERY = 6
+MSG_DOUBLY_ENCRYPTED_RESULT = 7
+
+
+def serialize_doubly_encrypted_query(q) -> bytes:
+    """DoublyEncryptedQuery -> bytes: two nested EncryptedQuery messages."""
+    row = serialize_encrypted_query(q.row)
+    col = serialize_encrypted_query(q.col)
+    return (_header(MSG_DOUBLY_ENCRYPTED_QUERY)
+            + struct.pack("<I", len(row)) + row
+            + struct.pack("<I", len(col)) + col)
+
+
+def deserialize_doubly_encrypted_query(data: bytes):
+    from .encrypted import DoublyEncryptedQuery
+
+    buf = _check_header(memoryview(data), MSG_DOUBLY_ENCRYPTED_QUERY)
+    (n,) = struct.unpack_from("<I", buf, 0)
+    row = deserialize_encrypted_query(bytes(buf[4:4 + n]))
+    off = 4 + n
+    (n2,) = struct.unpack_from("<I", buf, off)
+    col = deserialize_encrypted_query(bytes(buf[off + 4:off + 4 + n2]))
+    return DoublyEncryptedQuery(row=row, col=col)
+
+
+def serialize_doubly_encrypted_result(res) -> bytes:
+    """DoublyEncryptedQueryResult -> bytes (level-2 ciphertexts)."""
+    parts = [
+        _header(MSG_DOUBLY_ENCRYPTED_RESULT),
+        struct.pack("<III", res.slot_bytes, res.num_bytes_per_ciphertext,
+                    len(res.slots)),
+    ]
+    for slot in res.slots:
+        parts.append(struct.pack("<I", len(slot.cts)))
+        for ct in slot.cts:
+            parts.append(struct.pack("<B", ct.level))
+            parts.append(_int_out(ct.c))
+    return b"".join(parts)
+
+
+def deserialize_doubly_encrypted_result(data: bytes, pk):
+    from .crypto.paillier import Ciphertext
+    from .encrypted import DoublyEncryptedQueryResult, DoublyEncryptedSlot
+
+    buf = _check_header(memoryview(data), MSG_DOUBLY_ENCRYPTED_RESULT)
+    slot_bytes, per_ct, n_slots = struct.unpack_from("<III", buf, 0)
+    off = 12
+    slots = []
+    for _ in range(n_slots):
+        (n_cts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        cts = []
+        for _ in range(n_cts):
+            (level,) = struct.unpack_from("<B", buf, off)
+            off += 1
+            c, off = _int_in(buf, off)
+            cts.append(Ciphertext(c, level))
+        slots.append(DoublyEncryptedSlot(cts))
+    return DoublyEncryptedQueryResult(slots, pk, slot_bytes, per_ct)
+
+
+# ---- keyword sqrt-ST first layer ----
+
+MSG_SQRTST = 8
+
+
+def serialize_sqrt_st_meta(st) -> bytes:
+    """PrivateSqrtST client-visible part: boundary keys + geometry.
+
+    The second layer itself is served as an ordinary index-PIR database
+    (keyword.go:76-81); only the first layer travels in the clear, as the
+    reference's threat model prescribes (SURVEY.md §2.7)."""
+    parts = [
+        _header(MSG_SQRTST),
+        struct.pack("<IIII", st.num_keys, st.width, st.height, st.slot_bytes),
+        struct.pack("<I", len(st.first_layer)),
+    ]
+    for s in st.first_layer:
+        b = s.encode("utf-8")
+        parts.append(struct.pack("<H", len(b)) + b)
+    return b"".join(parts)
+
+
+def deserialize_sqrt_st_meta(data: bytes):
+    """-> a client-side PrivateSqrtST (first layer only; no second_layer)."""
+    from .keyword import PrivateSqrtST
+
+    buf = _check_header(memoryview(data), MSG_SQRTST)
+    num_keys, width, height, slot_bytes = struct.unpack_from("<IIII", buf, 0)
+    (count,) = struct.unpack_from("<I", buf, 16)
+    off = 20
+    first = []
+    for _ in range(count):
+        (n,) = struct.unpack_from("<H", buf, off)
+        off += 2
+        first.append(bytes(buf[off:off + n]).decode("utf-8"))
+        off += n
+    st = PrivateSqrtST()
+    st.first_layer = first
+    st.num_keys = num_keys
+    st.width = width
+    st.height = height
+    st.slot_bytes = slot_bytes
+    return st
+
+
 # ---- DBMetadata ----
 
-def serialize_metadata(slot_bytes: int, db_size: int) -> bytes:
-    return _header(MSG_METADATA) + struct.pack("<IQ", slot_bytes, db_size)
+META_HAS_KEYWORDS = 1  # server db carries a keyword column (db.go:119-135)
+META_HAS_SQRT_ST = 2  # service hosts a keyword sqrt search tree
 
 
-def deserialize_metadata(data: bytes) -> tuple[int, int]:
+def serialize_metadata(slot_bytes: int, db_size: int, flags: int = 0) -> bytes:
+    return _header(MSG_METADATA) + struct.pack("<IQB", slot_bytes, db_size, flags)
+
+
+def deserialize_metadata(data: bytes) -> tuple[int, int, int]:
     buf = _check_header(memoryview(data), MSG_METADATA)
     slot_bytes, db_size = struct.unpack_from("<IQ", buf, 0)
-    return slot_bytes, db_size
+    flags = buf[12] if len(buf) > 12 else 0  # r1 peers sent no flags byte
+    return slot_bytes, db_size, flags

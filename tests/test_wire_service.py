@@ -27,7 +27,11 @@ def test_query_share_roundtrip():
 
 def test_metadata_roundtrip():
     data = wire.serialize_metadata(7, 1 << 30)
-    assert wire.deserialize_metadata(data) == (7, 1 << 30)
+    assert wire.deserialize_metadata(data) == (7, 1 << 30, 0)
+    data = wire.serialize_metadata(7, 1 << 30, wire.META_HAS_KEYWORDS)
+    assert wire.deserialize_metadata(data)[2] == wire.META_HAS_KEYWORDS
+    # r1 peers sent no flags byte: still decodes, flags default 0
+    assert wire.deserialize_metadata(data[:-1]) == (7, 1 << 30, 0)
 
 
 def test_service_end_to_end():
@@ -43,8 +47,11 @@ def test_service_end_to_end():
             idx = rng.randrange(db.db_size)
             res = client.query_index(idx)
             assert Slot(db.data[idx].tobytes()).equal(res[0])
+        m = client.get_metrics()
         client.close()
-        assert s0.metrics["queries"] == 3
+        assert m["queries"] == 3 and m["engine"] == s0.engine_name
+        assert s0.metrics.summary()["queries"] == 3
+        assert s0.metrics.summary()["p99_ms"] > 0
     finally:
         s0.close()
         s1.close()
