@@ -35,25 +35,42 @@ ENC_LEVEL_TWO = 2
 
 # Native Montgomery modexp accelerator (pir_tpu/native/bigmod.cpp); falls
 # back to CPython pow if the C++ engine is unavailable.
-_native_powmod = None
-_native_tried = False
+_native = None  # the native module, or False if unusable
+
+
+def _native_mod():
+    global _native
+    if _native is None:
+        try:
+            from .. import native as nat
+
+            nat.powmod(3, 5, (1 << 255) | 1)  # triggers build; sanity check
+            _native = nat
+        except Exception:
+            _native = False
+    return _native or None
 
 
 def _powmod(b: int, e: int, m: int) -> int:
-    global _native_powmod, _native_tried
     if e >= 0 and (m & 1) and m.bit_length() >= 256:
-        if not _native_tried:
-            _native_tried = True
-            try:
-                from ..native import powmod as np_
-
-                np_(3, 5, (1 << 255) | 1)  # triggers build; sanity check
-                _native_powmod = np_
-            except Exception:
-                _native_powmod = None
-        if _native_powmod is not None:
-            return _native_powmod(b, e, m)
+        nat = _native_mod()
+        if nat is not None:
+            return nat.powmod(b, e, m)
     return pow(b, e, m)
+
+
+def _powmod_batch(bases, exps, m: int, common_base: bool = False,
+                  nthreads: int = 0) -> list[int]:
+    """Batched modexps over one modulus, threaded across cores when the
+    native engine is available (nthreads<=0: all cores). common_base=True
+    shares one window table across the batch (bases is a single int)."""
+    if (m & 1) and m.bit_length() >= 256 and all(e >= 0 for e in exps):
+        nat = _native_mod()
+        if nat is not None:
+            return nat.powmod_batch(bases, exps, m, common_base, nthreads)
+    if common_base:
+        return [pow(bases, e, m) for e in exps]
+    return [pow(b, e, m) for b, e in zip(bases, exps)]
 
 
 @dataclass
@@ -189,22 +206,32 @@ class PublicKey:
         reps = len(proof.commitments)
         if reps < 8 * proof.secparam:
             return False
+        if len(proof.responses) < reps:
+            return False
         bits = _fs_challenge_bits(self.n, ct1.c, ct2.c, proof.commitments, reps)
-        for i, (t_i, bit) in enumerate(zip(proof.commitments, bits)):
-            x, y = proof.responses[i]
-            if not (0 < y < n3):
-                return False
-            if bit == 0:
-                # opening w.r.t. ct2: T = ct2^(u^N) * v^(N^2)
-                e = _powmod(x, n, n2)
-                want = _powmod(ct2.c, e, n3) * _powmod(y, n2, n3) % n3
-            else:
-                # opening w.r.t. ct1: T = ct1^(z^N) * w^(N^2)
-                e = _powmod(x, n, n2)
-                want = _powmod(ct1.c, e, n3) * _powmod(y, n2, n3) % n3
-            if want != t_i:
-                return False
-        return True
+        xs = [proof.responses[i][0] for i in range(reps)]
+        ys = [proof.responses[i][1] for i in range(reps)]
+        if any(not (0 < y < n3) for y in ys):
+            return False
+        # independent repetitions batch through the native engine: one
+        # shared window table per common base (ct1 / ct2), threads across
+        # cores (previously 4 serial modexps per repetition)
+        es = _powmod_batch(xs, [n] * reps, n2)
+        y_pows = _powmod_batch(ys, [n2] * reps, n3)
+        idx0 = [i for i, b in enumerate(bits) if b == 0]
+        idx1 = [i for i, b in enumerate(bits) if b == 1]
+        # bit 0: opening w.r.t. ct2 (T = ct2^(u^N) * v^(N^2));
+        # bit 1: opening w.r.t. ct1 (T = ct1^(z^N) * w^(N^2))
+        ct2_pows = _powmod_batch(ct2.c, [es[i] for i in idx0], n3,
+                                 common_base=True)
+        ct1_pows = _powmod_batch(ct1.c, [es[i] for i in idx1], n3,
+                                 common_base=True)
+        want = [0] * reps
+        for k, i in enumerate(idx0):
+            want[i] = ct2_pows[k] * y_pows[i] % n3
+        for k, i in enumerate(idx1):
+            want[i] = ct1_pows[k] * y_pows[i] % n3
+        return all(w == t_i for w, t_i in zip(want, proof.commitments))
 
 
 class SecretKey(PublicKey):
@@ -292,39 +319,46 @@ class SecretKey(PublicKey):
     def prove_ddleq(
         self, secparam: int, ct1: Ciphertext, ct2: Ciphertext, a: int, b: int
     ) -> DDLEQProof:
-        """PoK{(a,b): ct2 = ct1^(a^N) * b^(N^2)} — see module docstring."""
+        """PoK{(a,b): ct2 = ct1^(a^N) * b^(N^2)} — see module docstring.
+
+        All `8*secparam` independent repetitions batch their modexps
+        through the native engine (shared window tables for the common
+        bases ct1/ct2/b, threads across cores); previously each
+        repetition ran up to 6 serial CPython modexps.
+        """
         n, n2, n3 = self.n, self.n2, self.n3
         reps = 8 * secparam
-        us, vs, ts = [], [], []
         alpha = _powmod(a, n, n2)
-        for _ in range(reps):
-            u = self.random_r()
-            v = self.random_r()
-            e = _powmod(u, n, n2)
-            t = _powmod(ct2.c, e, n3) * _powmod(v, n2, n3) % n3
-            us.append(u)
-            vs.append(v)
-            ts.append(t)
+        us = [self.random_r() for _ in range(reps)]
+        vs = [self.random_r() for _ in range(reps)]
+        es = _powmod_batch(us, [n] * reps, n2)  # u^N mod N^2
+        t_as = _powmod_batch(ct2.c, es, n3, common_base=True)
+        t_bs = _powmod_batch(vs, [n2] * reps, n3)
+        ts = [ta * tb % n3 for ta, tb in zip(t_as, t_bs)]
         bits = _fs_challenge_bits(n, ct1.c, ct2.c, ts, reps)
+        idx1 = [i for i, bit in enumerate(bits) if bit == 1]
+        # bit 1 openings: T = ct2^(u^N) v^(N^2)
+        #               = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2);
+        # fold the exponent overshoot (alpha*e_u - z^N mod N^2, a
+        # non-negative multiple of N^2) into the N^2-th power part.
+        zs = [a * us[i] % n for i in idx1]
+        z_pows = _powmod_batch(zs, [n] * len(idx1), n2)
+        b_pows = _powmod_batch(b, [es[i] for i in idx1], n3, common_base=True)
+        deltas = []
+        for k, i in enumerate(idx1):
+            delta = alpha * es[i] - z_pows[k]
+            assert delta >= 0 and delta % n2 == 0
+            deltas.append(delta // n2)
+        ct1_pows = _powmod_batch(ct1.c, deltas, n3, common_base=True)
         responses = []
-        for u, v, bit in zip(us, vs, bits):
+        k = 0
+        for i, bit in enumerate(bits):
             if bit == 0:
-                responses.append((u, v))
+                responses.append((us[i], vs[i]))
             else:
-                z = a * u % n
-                e_u = _powmod(u, n, n2)
-                # T = ct2^(u^N) v^(N^2) = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2);
-                # fold the exponent overshoot (alpha*e_u - z^N mod N^2, a
-                # multiple of N^2) into the N^2-th power part.
-                z_pow = _powmod(z, n, n2)
-                delta = alpha * e_u - z_pow
-                assert delta % n2 == 0
-                w = (
-                    _powmod(b, e_u, n3)
-                    * v
-                    * pow(ct1.c, delta // n2, n3)
-                ) % n3
-                responses.append((z, w))
+                w = b_pows[k] * vs[i] * ct1_pows[k] % n3
+                responses.append((zs[k], w))
+                k += 1
         return DDLEQProof(ts, responses, secparam)
 
 

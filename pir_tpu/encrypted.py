@@ -144,17 +144,63 @@ def new_doubly_encrypted_null_query(
 # Server: encrypted scans
 # --------------------------------------------------------------------------
 
+def _native_scan():
+    """The threaded C++ AHE-scan engine, or None (falls back to CPython)."""
+    try:
+        from . import native
+
+        return native if native.bigmod_available() else None
+    except Exception:
+        return None
+
+
 def private_encrypted_query(
-    db: Database, query: EncryptedQuery
+    db: Database, query: EncryptedQuery, nprocs: int | None = None
 ) -> EncryptedQueryResult:
     """The AHE scan (db.go:176-271).
 
     Slots are packed into ceil(slot_bytes / (|N|-2)) plaintext chunks;
     answer[col][chunk] = Σ_row Enc(bit_row)·chunk(row, col).
+
+    `nprocs` is the reference's goroutine fan-out knob (db.go:193-261):
+    the native engine partitions rows across that many threads with a
+    partial-product merge (nprocs=None: all cores). Note the dev rig has
+    one core; the threading pays off on multi-core serving hosts.
     """
     pk = query.pk
     dim_width, dim_height = query.db_width, query.db_height
     num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
+
+    nat = _native_scan()
+    if nat is not None:
+        # exponent matrix: out-of-range slots keep exponent 0, whose
+        # selection is the multiplicative identity == the reference's
+        # `continue` skip
+        width_cts = dim_width * num_cts
+        vals = [0] * (dim_height * width_cts)
+        num_bytes_per_ciphertext = 0
+        for row in range(dim_height):
+            base = row * width_cts
+            for col in range(dim_width):
+                slot_index = row * dim_width + col
+                if slot_index >= db.db_size:
+                    continue
+                int_arr, per = db.slot(slot_index).to_int_array(num_cts)
+                if num_bytes_per_ciphertext == 0:
+                    num_bytes_per_ciphertext = per
+                vals[base + col * num_cts:base + (col + 1) * num_cts] = int_arr
+        ebs = [query.ebits[row].c for row in range(dim_height)]
+        out = nat.paillier_scan(ebs, vals, width_cts, pk.n2, nprocs or 0)
+        slots = [
+            EncryptedSlot([
+                Ciphertext(out[col * num_cts + j], ENC_LEVEL_ONE)
+                for j in range(num_cts)
+            ])
+            for col in range(dim_width)
+        ]
+        return EncryptedQueryResult(
+            slots, pk, db.slot_bytes, num_bytes_per_ciphertext
+        )
 
     num_bytes_per_ciphertext = 0
     slots = [
@@ -178,39 +224,63 @@ def private_encrypted_query(
 
 
 def private_doubly_encrypted_query(
-    db: Database, query: DoublyEncryptedQuery
+    db: Database, query: DoublyEncryptedQuery, nprocs: int | None = None
 ) -> DoublyEncryptedQueryResult:
     """db.go:273-292: row pass then column pass."""
     if query.row.group_size > db.db_size or query.row.group_size == 0:
         raise ValueError("invalid group size provided in query")
     if query.col.group_size > query.row.db_width or query.col.group_size == 0:
         raise ValueError("invalid group size provided in query")
-    row_res = private_encrypted_query(db, query.row)
-    return private_encrypted_query_over_encrypted_result(db, query.col, row_res)
+    row_res = private_encrypted_query(db, query.row, nprocs)
+    return private_encrypted_query_over_encrypted_result(
+        db, query.col, row_res, nprocs
+    )
 
 
 def private_encrypted_query_over_encrypted_result(
-    db: Database, query: EncryptedQuery, result: EncryptedQueryResult
+    db: Database, query: EncryptedQuery, result: EncryptedQueryResult,
+    nprocs: int | None = None,
 ) -> DoublyEncryptedQueryResult:
     """db.go:294-358: level-2 selection over level-1 ciphertext values."""
     pk = query.pk
     num_cts = len(result.slots[0].cts)
-    if len(result.slots) % query.group_size != 0:
+    g = query.group_size
+    if len(result.slots) % g != 0:
         raise ValueError("row has a size that is not a multiple of the group size")
 
-    res = [
-        [pk.null_ciphertext(ENC_LEVEL_TWO) for _ in range(num_cts)]
-        for _ in range(query.group_size)
-    ]
-    member = 0
-    for col in range(len(result.slots)):
-        if col % query.group_size == 0:
-            member = 0
-        bit_ct = query.ebits[col // query.group_size]
-        for j, slot_ct in enumerate(result.slots[col].cts):
-            sel = pk.const_mult(bit_ct, slot_ct.c)
-            res[member][j] = pk.add(res[member][j], sel)
-        member += 1
+    nat = _native_scan()
+    if nat is not None:
+        # reorganize as one scan over column *blocks*: out[member][j] =
+        # prod_block ebits[block]^{slots[block*g+member].cts[j].c} mod N^3
+        num_blocks = len(result.slots) // g
+        width_cts = g * num_cts
+        ebs = [query.ebits[blk].c for blk in range(num_blocks)]
+        vals = [
+            result.slots[blk * g + member].cts[j].c
+            for blk in range(num_blocks)
+            for member in range(g)
+            for j in range(num_cts)
+        ]
+        out = nat.paillier_scan(ebs, vals, width_cts, pk.n3, nprocs or 0)
+        res = [
+            [Ciphertext(out[member * num_cts + j], ENC_LEVEL_TWO)
+             for j in range(num_cts)]
+            for member in range(g)
+        ]
+    else:
+        res = [
+            [pk.null_ciphertext(ENC_LEVEL_TWO) for _ in range(num_cts)]
+            for _ in range(g)
+        ]
+        member = 0
+        for col in range(len(result.slots)):
+            if col % g == 0:
+                member = 0
+            bit_ct = query.ebits[col // g]
+            for j, slot_ct in enumerate(result.slots[col].cts):
+                sel = pk.const_mult(bit_ct, slot_ct.c)
+                res[member][j] = pk.add(res[member][j], sel)
+            member += 1
 
     return DoublyEncryptedQueryResult(
         [DoublyEncryptedSlot(cts) for cts in res],

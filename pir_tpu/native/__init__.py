@@ -77,7 +77,7 @@ def load_bigmod():
             os.path.getmtime(_BIGMOD_SRC) > os.path.getmtime(_BIGMOD_SO)
         ):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _BIGMOD_SRC,
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread", _BIGMOD_SRC,
                  "-o", _BIGMOD_SO + ".tmp"],
                 check=True, capture_output=True,
             )
@@ -87,8 +87,34 @@ def load_bigmod():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
     ]
+    lib.mg_powmod_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.paillier_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+        ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     _bigmod = lib
     return lib
+
+
+def _ints_to_limbs(vals, limbs: int) -> np.ndarray:
+    """list[int] -> contiguous little-endian u64 limb matrix."""
+    w = limbs * 8
+    buf = bytearray(len(vals) * w)
+    for i, v in enumerate(vals):
+        buf[i * w:i * w + w] = v.to_bytes(w, "little")
+    return np.frombuffer(bytes(buf), dtype=np.uint64)
+
+
+def _limbs_to_ints(arr: np.ndarray, limbs: int) -> list[int]:
+    raw = arr.tobytes()
+    w = limbs * 8
+    return [int.from_bytes(raw[i:i + w], "little")
+            for i in range(0, len(raw), w)]
 
 
 def powmod(base: int, exp: int, mod: int) -> int:
@@ -106,6 +132,66 @@ def powmod(base: int, exp: int, mod: int) -> int:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return int.from_bytes(out.tobytes(), "little")
+
+
+def powmod_batch(bases, exps, mod: int, common_base: bool = False,
+                 nthreads: int = 0) -> list[int]:
+    """out[i] = bases[i]^exps[i] mod mod (odd mod), threaded across cores.
+
+    common_base=True: `bases` is ONE int whose Montgomery window table is
+    shared across the whole batch (the DDLEQ ct^e_i pattern)."""
+    lib = load_bigmod()
+    n = (mod.bit_length() + 63) // 64
+    count = len(exps)
+    exp_n = max(1, (max((e.bit_length() for e in exps), default=1) + 63) // 64)
+    if common_base:
+        b = _ints_to_limbs([bases % mod], n)
+    else:
+        b = _ints_to_limbs([v % mod for v in bases], n)
+    e = _ints_to_limbs(exps, exp_n)
+    m = _ints_to_limbs([mod], n)
+    out = np.zeros(count * n, dtype=np.uint64)
+    lib.mg_powmod_batch(
+        b.ctypes.data_as(ctypes.c_void_p), e.ctypes.data_as(ctypes.c_void_p),
+        exp_n, m.ctypes.data_as(ctypes.c_void_p), n, count,
+        1 if common_base else 0, nthreads,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return _limbs_to_ints(out, n)
+
+
+def paillier_scan(ebits: list[int], vals: list[int], width_cts: int,
+                  mod: int, nthreads: int = 0) -> list[int]:
+    """out[j] = prod_row ebits[row]^vals[row*width_cts+j] mod mod.
+
+    The native analogue of the reference's nprocs-partitioned AHE scan
+    with partial-product merge (db.go:193-261). `vals` is the flattened
+    (height, width_cts) exponent matrix; exponent 0 contributes the
+    multiplicative identity (== the reference's out-of-range `continue`).
+    """
+    lib = load_bigmod()
+    height = len(ebits)
+    assert len(vals) == height * width_cts
+    n = (mod.bit_length() + 63) // 64
+    exp_n = max(1, (max((v.bit_length() for v in vals), default=1) + 63) // 64)
+    eb = _ints_to_limbs([v % mod for v in ebits], n)
+    vl = _ints_to_limbs(vals, exp_n)
+    m = _ints_to_limbs([mod], n)
+    out = np.zeros(width_cts * n, dtype=np.uint64)
+    lib.paillier_scan(
+        eb.ctypes.data_as(ctypes.c_void_p), height,
+        vl.ctypes.data_as(ctypes.c_void_p), exp_n, width_cts,
+        m.ctypes.data_as(ctypes.c_void_p), n, nthreads,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return _limbs_to_ints(out, n)
+
+
+def bigmod_available() -> bool:
+    try:
+        return load_bigmod() is not None
+    except Exception:
+        return False
 
 
 def _key_blobs(query_share):

@@ -112,3 +112,42 @@ def test_invalid_group_sizes_raise(keys, db):
     query.row.group_size = 0
     with pytest.raises(ValueError):
         enc.private_doubly_encrypted_query(db, query)
+
+
+def test_native_scan_matches_python(keys, db, monkeypatch):
+    """The threaded C++ AHE scan (bigmod.cpp:paillier_scan) must produce
+    bit-identical ciphertexts to the CPython reference loop, including the
+    nprocs partial-merge path and out-of-range skip semantics."""
+    sk, pk = keys
+    if enc._native_scan() is None:
+        pytest.skip("native bigmod engine unavailable")
+    q1 = enc.new_encrypted_query(db.metadata(), pk, 2, 7)
+    q2 = enc.new_doubly_encrypted_query(db.metadata(), pk, 2, 99)
+    nat_r1 = enc.private_encrypted_query(db, q1, nprocs=3)
+    nat_r2 = enc.private_doubly_encrypted_query(db, q2, nprocs=3)
+    monkeypatch.setattr(enc, "_native_scan", lambda: None)
+    py_r1 = enc.private_encrypted_query(db, q1)
+    py_r2 = enc.private_doubly_encrypted_query(db, q2)
+    assert nat_r1.num_bytes_per_ciphertext == py_r1.num_bytes_per_ciphertext
+    for a, b in zip(nat_r1.slots, py_r1.slots):
+        assert [c.c for c in a.cts] == [c.c for c in b.cts]
+    for a, b in zip(nat_r2.slots, py_r2.slots):
+        assert [c.c for c in a.cts] == [c.c for c in b.cts]
+
+
+def test_powmod_batch_matches_pow(keys):
+    """Native batched modexp (threaded, shared-window-table) vs CPython."""
+    import random as pyrandom
+
+    from pir_tpu.crypto.paillier import _powmod_batch
+
+    _, pk = keys
+    rng = pyrandom.Random(7)
+    bases = [rng.randrange(2, pk.n3) for _ in range(9)]
+    exps = [rng.randrange(0, pk.n2) for _ in range(9)]
+    assert _powmod_batch(bases, exps, pk.n3, nthreads=2) == [
+        pow(b, e, pk.n3) for b, e in zip(bases, exps)
+    ]
+    assert _powmod_batch(bases[0], exps, pk.n3, common_base=True) == [
+        pow(bases[0], e, pk.n3) for e in exps
+    ]
