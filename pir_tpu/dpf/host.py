@@ -491,6 +491,40 @@ def eval_full_domain_fast_bits(dpf: Dpf, key: FastKey2P) -> np.ndarray:
     return bits[: key.height].astype(bool)
 
 
+def eval_points_mp(dpf: Dpf, key: KeyMP, xs) -> np.ndarray:
+    """Vectorized multi-party eval at many points (dpf/server.go:110-144).
+
+    Semantically identical to ``evaluate_mp`` per point but amortized:
+    points sharing a row gamma share one seed expansion, and ALL unique
+    rows expand in a single AES-NI ``prf_blocks`` dispatch instead of a
+    per-point Python loop. Returns (len(xs),) int64 of y values (the
+    caller derives XOR bit shares as ``y & 1``).
+    """
+    p2, mu, gamma_bits, delta_bits = _mp_params(dpf.num_bits, key.num_parties)
+    xs = np.asarray(xs, dtype=np.int64)
+    deltas = xs & ((1 << delta_bits) - 1)
+    gammas = (xs >> delta_bits) & ((1 << gamma_bits) - 1)
+    uniq, inv = np.unique(gammas, return_inverse=True)
+
+    m_bytes = dpf.m * mu
+    num_blocks = -(-m_bytes // BLOCK_SIZE)
+    seeds = np.frombuffer(
+        b"".join(key.sigma[int(g)] for g in uniq), dtype=np.uint8
+    ).reshape(len(uniq), p2, BLOCK_SIZE)
+    present = seeds.any(axis=2)  # zero-seed slots skip G AND cw (go:127-136)
+    out = prf_blocks(seeds.reshape(-1, BLOCK_SIZE), dpf.ciphers, num_blocks)
+    words = (
+        out.reshape(len(uniq) * p2, -1)[:, :m_bytes]
+        .copy().view("<u4")[:, :mu].reshape(len(uniq), p2, mu)
+    )
+    cw = np.stack([np.asarray(key.cw[i][:mu], dtype=np.uint32)
+                   for i in range(p2)])
+    y = np.bitwise_xor.reduce(
+        np.where(present[:, :, None], words ^ cw[None], np.uint32(0)), axis=1
+    )  # (n_uniq, mu)
+    return y[inv, deltas].astype(np.int64)
+
+
 def evaluate_mp(dpf: Dpf, key: KeyMP, x: int) -> int:
     """Multi-party XOR-homomorphic eval (dpf/server.go:110-144)."""
     p2 = int(math.pow(2, key.num_parties - 1))

@@ -49,17 +49,12 @@ def expand_shared_query(db: Database, query: QueryShare) -> np.ndarray:
         return dpf_host.eval_full_domain_fast_bits(pf, query.key_fast)
     pf = _server_dpf(db, query)
     if not query.is_two_party:
-        vals = np.array(
-            [
-                dpf_host.evaluate_mp(pf, query.key_multi_party, int(k))
-                for k in (
-                    db.keywords[:dim_height]
-                    if query.is_keyword_based
-                    else range(dim_height)
-                )
-            ],
-            dtype=np.int64,
+        points = (
+            db.keywords[:dim_height].astype(np.int64)
+            if query.is_keyword_based
+            else np.arange(dim_height, dtype=np.int64)
         )
+        vals = dpf_host.eval_points_mp(pf, query.key_multi_party, points)
         # Multi-party outputs are XOR shares, so the *direct* parity is
         # the selection-bit share: XOR_j (y_j & 1) = [row == target].
         # (The reference's inverted convention at db.go:157-161 belongs

@@ -71,3 +71,28 @@ def test_three_server_pir_tpu_engine():
     results = [server.private_secret_shared_query(s) for s in shares]
     rec = q.recover(results)
     assert db.slot(idx).equal(rec[0])
+
+
+def test_eval_points_mp_matches_single_point_eval():
+    """The vectorized full-domain MP eval (one AES dispatch over all
+    unique rows) must agree with the per-point golden evaluate_mp."""
+    import numpy as np
+
+    from pir_tpu import query as q
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.dpf import host as dpf_host
+    from pir_tpu.utils.bits import num_bits_for_height
+
+    db = generate_random_db(512, 4)
+    for parties in (3, 4):
+        shares = q.new_index_query_shares(db.metadata(), 77, 1, parties)
+        for s in shares:
+            pf = dpf_host.server_initialize(
+                s.prf_keys, num_bits_for_height(512)
+            )
+            vec = dpf_host.eval_points_mp(pf, s.key_multi_party, np.arange(512))
+            loop = np.array([
+                dpf_host.evaluate_mp(pf, s.key_multi_party, x)
+                for x in range(512)
+            ])
+            assert (vec == loop).all(), parties
