@@ -696,10 +696,24 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
 @dataclass(frozen=True)
 class CompatRootLayout:
     """Bit-packed root-start payload for the reference-exact (compat) mode
-    (same packing rationale as FastRootLayout)."""
+    (same packing rationale as FastRootLayout).
+
+    ``skip``: leading tree levels whose RIGHT subtree provably covers no
+    row. The reference's ``numBits = log2(h)+1`` convention (query.go:61)
+    doubles the domain for power-of-two heights, so the root's right half
+    is dead; the device walks `skip` levels keeping only the left child
+    (one 1-word PRG triple each — the seed lives in lane bit 0) before
+    the packed root-start expansion of the remaining ``num_bits - skip``
+    levels. Halves AES and scan work at identical outputs.
+    """
 
     num_bits: int
     height: int
+    skip: int = 0
+
+    @property
+    def device_bits(self) -> int:
+        return self.num_bits - self.skip
 
     @property
     def sizes(self):
@@ -714,7 +728,7 @@ class CompatRootLayout:
 
     @property
     def flat_bits(self):
-        return 1 << self.num_bits
+        return 1 << self.device_bits
 
 
 def unpack_compat_root_payload(payload, layout: CompatRootLayout):
@@ -741,15 +755,84 @@ def _compat_leaf_perm_root(num_bits: int, height: int) -> np.ndarray:
     return rev
 
 
-def make_compat_payload_batch(shares) -> tuple[np.ndarray, CompatRootLayout]:
+def compat_skip_levels(num_bits: int, height: int) -> int:
+    """Leading levels whose right subtree lies entirely outside [0, height).
+
+    Non-zero exactly when height <= 2^(num_bits-1), i.e. for power-of-two
+    heights under the reference's log2(h)+1 domain rule (query.go:61)."""
+    skip = 0
+    while num_bits - skip > 1 and height <= (1 << (num_bits - skip - 1)):
+        skip += 1
+    return skip
+
+
+def compat_stage_plan(device_bits: int, w: int = 128,
+                      max_tail: int = 3) -> tuple[int, tuple[int, ...]]:
+    """Cascade plan for the Pallas compat expansion.
+
+    Returns (split, tails): the XLA root-start head walks `split` levels
+    (ending at exactly one chunk of `w` lane words); each Pallas stage
+    then walks tails[k] levels (ops.pallas_expand.compat_stage_pallas).
+    `max_tail` bounds per-stage VMEM (last level holds 2^(tail-1) chunks
+    of PRG triple + gate temporaries; 3 fits ~9 MB at w=128).
+    Requires device_bits > split = 5 + log2(w).
+    """
+    split = 5 + int(np.log2(w))
+    assert 1 << (split - 5) == w, "w must be a power of two"
+    rem = device_bits - split
+    assert rem > 0, (device_bits, split)
+    tails = []
+    while rem > 0:
+        t = min(max_tail, rem)
+        tails.append(t)
+        rem -= t
+    return split, tuple(tails)
+
+
+@functools.lru_cache(maxsize=64)
+def _compat_perm_pallas(device_bits: int, height: int, w: int,
+                        tails: tuple[int, ...]) -> np.ndarray:
+    """Natural row -> flat bit index for the cascaded Pallas compat path.
+
+    Replays the storage order of the stacked-chunk walk: in-word bits =
+    first 5 levels (bit-reversed), lane word = head levels 6..split
+    (concat order, latest level most significant), chunk index = the
+    cascade stages' branch bits appended MSB-first per stage.
+    """
+    split = 5 + int(np.log2(w))
+    r = np.arange(height, dtype=np.int64)
+    # rev bit (i-1) = branch at level i (MSB-first path bits of r)
+    rev = np.zeros_like(r)
+    for b in range(device_bits):
+        rev |= ((r >> b) & 1) << (device_bits - 1 - b)
+    bitpos = rev & 31
+    word = (rev >> 5) & (w - 1)  # head word index (levels 6..split)
+    chunk = np.zeros_like(r)
+    lvl = split
+    for t in tails:
+        b_bits = np.zeros_like(r)
+        for jj in range(t):  # first level of the stage ends up MSB
+            b_bits = (b_bits << 1) | ((rev >> (lvl + jj)) & 1)
+        chunk = (chunk << t) | b_bits
+        lvl += t
+    assert lvl == device_bits
+    return (chunk * w + word) * 32 + bitpos
+
+
+def make_compat_payload_batch(
+    shares, height: int | None = None
+) -> tuple[np.ndarray, CompatRootLayout]:
     """Vectorised bit-packed payload builder for compat (reference-exact)
-    shares; see make_fast_payload_batch."""
+    shares; see make_fast_payload_batch. When `height` is given, dead
+    leading levels are marked for the device-side left-child skip
+    (CompatRootLayout.skip) — the payload itself is identical."""
     from .aes_host import key_schedule_batch
 
     q_n = len(shares)
     k0 = shares[0].key_two_party
     num_bits = len(k0.cw)
-    layout = CompatRootLayout(num_bits, 0)
+    skip = compat_skip_levels(num_bits, height) if height else 0
+    layout = CompatRootLayout(num_bits, 0, skip)
     _full = np.uint32(0xFFFFFFFF)
 
     payload = np.zeros((q_n, layout.total), dtype=np.uint32)

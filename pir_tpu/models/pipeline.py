@@ -380,11 +380,24 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
     return jax.jit(fn)
 
 
+def _compat_skip_walk(seeds, t, cw_s, cw_tl, cw_tr, rk, skip: int):
+    """Walk `skip` dead leading levels keeping only the left child.
+
+    Operates on root-shaped (8, 16, 1) planes whose lane bit 0 holds the
+    seed; high lane bits carry garbage that the first in-word packing
+    level of expand_planes_from_root masks away (see CompatRootLayout)."""
+    for k in range(skip):
+        out = _prf_triple(seeds, rk)
+        s_l, t_l, _, _ = _children(out, t, cw_s[k], cw_tl[k], cw_tr[k])
+        seeds, t = s_l, t_l
+    return seeds, t
+
+
 @functools.lru_cache(maxsize=64)
 def fused_compat_root_batch_fn(layout):
     """Root-start batched COMPAT answers (reference-exact leaf semantics)
     against a bit-reversed-row plane table:
-    jit(planes_i8 (2^nb, 8B), payloads (Q, L)) -> (Q, B) uint8."""
+    jit(planes_i8 (2^device_bits, 8B), payloads (Q, L)) -> (Q, B) uint8."""
     from ..dpf.device import (
         _leaf_select_bits,
         _unpack_bits,
@@ -393,21 +406,104 @@ def fused_compat_root_batch_fn(layout):
     )
     from ..ops.matmul_scan import mxu_preplane_scan
 
+    nbd, sk = layout.device_bits, layout.skip
+
     def bits_of(payload):
         seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_compat_root_payload(
             payload, layout
         )
+        seeds, t = _compat_skip_walk(seeds, t, cw_s, cw_tl, cw_tr, rk, sk)
         seeds, t = expand_planes_from_root(
-            seeds, t, cw_s, cw_tl, cw_tr, rk, layout.num_bits
+            seeds, t, cw_s[sk:], cw_tl[sk:], cw_tr[sk:], rk, nbd
         )
         packed = _leaf_select_bits(seeds, t, fcw)
-        if layout.num_bits < 5:
-            packed = packed & jnp.uint32((1 << (1 << layout.num_bits)) - 1)
+        if nbd < 5:
+            packed = packed & jnp.uint32((1 << (1 << nbd)) - 1)
         return _unpack_bits(packed, packed.shape[0] * 32)
 
     def fn(planes_i8, payloads):
-        bits = jax.vmap(bits_of)(payloads)  # (Q, 2^nb)
+        bits = jax.vmap(bits_of)(payloads)  # (Q, 2^nbd)
         return mxu_preplane_scan(planes_i8, bits)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
+                                      max_tail: int = 3,
+                                      q_chunk: int = 16,
+                                      interpret: bool = False):
+    """Batched COMPAT answers with the cascaded Pallas expansion + fused
+    unpack/matmul scan, against a STORAGE-ORDERED u8 table (rows
+    scattered by dpf.device._compat_perm_pallas at build).
+
+    jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8.
+    Queries are processed in chunks of `q_chunk` under lax.map so the
+    cascade's intermediate seed planes (~0.5 MB/query/stage boundary)
+    stay bounded; Q must be a multiple of q_chunk (or <= q_chunk).
+    """
+    from ..dpf.device import (
+        compat_stage_plan,
+        expand_planes_from_root,
+        unpack_compat_root_payload,
+    )
+    from ..ops.pallas_expand import compat_stage_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_pallas
+
+    nbd, sk = layout.device_bits, layout.skip
+    split, tails = compat_stage_plan(nbd, w, max_tail)
+
+    def head(payload):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = unpack_compat_root_payload(
+            payload, layout
+        )
+        seeds, t = _compat_skip_walk(seeds, t, cw_s, cw_tl, cw_tr, rk, sk)
+        seeds, t = expand_planes_from_root(
+            seeds, t, cw_s[sk:sk + split], cw_tl[sk:sk + split],
+            cw_tr[sk:sk + split], rk, split
+        )
+        return (seeds[:, None], t.reshape(1, 1, w), cw_s[sk + split:],
+                cw_tl[sk + split:], cw_tr[sk + split:], rk, fcw)
+
+    def bits_chunk(payloads_c):
+        seeds, t, cw_s, cw_tl, cw_tr, rk, fcw = jax.vmap(head)(payloads_c)
+        off = 0
+        for si, tl in enumerate(tails):
+            res = compat_stage_pallas(
+                seeds, t, cw_s[:, off:off + tl], cw_tl[:, off:off + tl],
+                cw_tr[:, off:off + tl], rk, fcw,
+                tail=tl, emit_bits=(si == len(tails) - 1),
+                interpret=interpret,
+            )
+            if si == len(tails) - 1:
+                packed = res
+            else:
+                seeds, t = res
+            off += tl
+        pw = packed.reshape(packed.shape[0], -1)  # (qc, NWf) words
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = (pw[..., None] >> shifts) & jnp.uint32(1)
+        return bits.reshape(pw.shape[0], -1).astype(jnp.uint8)
+
+    def fn(table_u8, payloads):
+        qn = payloads.shape[0]
+        if qn <= q_chunk:
+            bits = bits_chunk(payloads)
+        else:
+            assert qn % q_chunk == 0, (qn, q_chunk)
+            bits = jax.lax.map(
+                bits_chunk, payloads.reshape(-1, q_chunk, payloads.shape[1])
+            ).reshape(qn, -1)
+        pad = table_u8.shape[0] - bits.shape[1]
+        if pad:
+            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        rows, b = table_u8.shape
+        br = next(x for x in (2048, 1024, 512, 256, 128, rows)
+                  if rows % x == 0)
+        bc = 512 if b % 512 == 0 else b
+        return mxu_batched_scan_pallas(
+            table_u8, bits, block_rows=br, block_cols=bc, interpret=interpret
+        )
 
     return jax.jit(fn)
 

@@ -113,6 +113,161 @@ def _tail_kernel(levels: int):
     return kernel
 
 
+# --------------------------------------------------------------------------
+# Compat-mode (reference-exact leaf semantics) stage kernel
+# --------------------------------------------------------------------------
+# Fast mode terminates the tree early (128 rows per leaf), so one query's
+# whole tail fits in VMEM. Compat mode (db.go:128-171 semantics: one tree
+# leaf per row, Go-Varint parity leaves) has 32x more nodes; a single
+# query's final level alone is ~32 MB of seed planes. The walk is instead
+# CASCADED: the canonical state between stages is
+#     seeds (Q, 8, NC, 16, W)   t (Q, NC, 1, W)
+# i.e. NC chunks of W lane words (W*32 nodes per chunk). Each stage walks
+# `tail` doubling levels for one chunk per grid step, entirely in VMEM,
+# with the chunk count (a LEADING axis) doubling per level instead of the
+# lane axis — so every AES gate op runs on full (byte=16, lane=W) tiles
+# even in the first levels of a stage, unlike lane-concat doubling which
+# runs half-empty below W words. Stage output chunk order is
+# new_chunk = parent_chunk * 2^tail + branches (first level = MSB); the
+# table scatter permutation replays this (dpf.device._compat_perm_pallas).
+# The final stage ends with the Go-Varint parity leaf select
+# (dpf/client.go:141 parity only — see utils.bits.varint_parity_planes)
+# and emits packed selection-bit words instead of seeds.
+
+
+def _stack_level(seeds, t, cw_s_l, cw_tl_l, cw_tr_l, rk):
+    """One doubling level in the stacked-chunk scheme.
+
+    seeds (8, B, 16, W), t (B, 1, W) -> (8, 2B, 16, W), (2B, 1, W).
+    cw_s_l (8, 16, 1) masks; cw_tl_l/cw_tr_l (1, 1) mask words;
+    rk (11, 8, 1, 3, 16, 1).
+    """
+    x = seeds[:, :, None]  # (8, B, 1, 16, W)
+    prg = _aes_encrypt_roll(x, rk) ^ x  # (8, B, 3, 16, W)
+    s_l = prg[:, :, 0]  # (8, B, 16, W)
+    t_l = prg[0, :, 1, 0:1, :]  # (B, 1, W)
+    # sR = block1 bytes 1..15 ++ block2 byte 0 (dpf/client.go:99-116)
+    b1 = pltpu.roll(prg[:, :, 1], shift=15, axis=2)
+    b2 = pltpu.roll(prg[:, :, 2], shift=15, axis=2)
+    byte_ids = jax.lax.broadcasted_iota(jnp.int32, b1.shape, 2)
+    s_r = jnp.where(byte_ids == 15, b2, b1)
+    t_r = pltpu.roll(prg[0, :, 2], shift=15, axis=1)[:, 0:1, :]
+    corr = t[None] & cw_s_l[:, None]  # (1,B,1,W) & (8,1,16,1) -> (8,B,16,W)
+    s_l = s_l ^ corr
+    s_r = s_r ^ corr
+    t_l = t_l ^ (t & cw_tl_l)
+    t_r = t_r ^ (t & cw_tr_l)
+    b = seeds.shape[1]
+    seeds = jnp.stack([s_l, s_r], axis=2).reshape(8, 2 * b, 16, seeds.shape[-1])
+    t = jnp.stack([t_l, t_r], axis=1).reshape(2 * b, 1, seeds.shape[-1])
+    return seeds, t
+
+
+def _varint_parity_packed(seeds, t, fcw_mask):
+    """Packed compat selection bits from stacked leaf seeds.
+
+    seeds (8, B, 16, W), t (B, 1, W) -> (B, 1, W) packed words with
+    bit = (leaf value % 2 == 0) (inverted convention, db.go:142).
+    Varint parity = byte0.bit0 ^ byte0.bit1 unless all 8 continuation
+    bits (bit 7 of bytes 0..7) are set (utils.bits.varint_parity_planes).
+    """
+    x7 = seeds[7]  # (B, 16, W) continuation-bit plane
+    ids = jax.lax.broadcasted_iota(jnp.int32, x7.shape, 1)
+    x7 = jnp.where(ids < 8, x7, jnp.uint32(0xFFFFFFFF))
+    for sh in (1, 2, 4, 8):  # cyclic log-AND over the byte axis
+        x7 = x7 & pltpu.roll(x7, shift=sh, axis=1)
+    allcont = x7[:, 0:1, :]  # (B, 1, W)
+    parity = seeds[0][:, 0:1, :] ^ seeds[1][:, 0:1, :]
+    return ~((parity & ~allcont) ^ (t & fcw_mask))
+
+
+def _compat_stage_kernel(tail: int, emit_bits: bool):
+    def kernel(seeds_ref, t_ref, cw_s_ref, cw_tl_ref, cw_tr_ref, rk_ref,
+               *rest):
+        if emit_bits:
+            fcw_ref, out_ref = rest
+        else:
+            out_s_ref, out_t_ref = rest
+        seeds = seeds_ref[0]  # (8, 1, 16, W)
+        t = t_ref[0]  # (1, 1, W)
+        rk = rk_ref[0][:, :, None]  # (11, 8, 1, 3, 16, 1)
+        for l in range(tail):
+            seeds, t = _stack_level(
+                seeds, t, cw_s_ref[0, l], cw_tl_ref[0, l], cw_tr_ref[0, l], rk
+            )
+        if emit_bits:
+            out_ref[0] = _varint_parity_packed(seeds, t, fcw_ref[0])
+        else:
+            out_s_ref[0] = seeds
+            out_t_ref[0] = t
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tail", "emit_bits", "interpret")
+)
+def compat_stage_pallas(
+    seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, *,
+    tail: int, emit_bits: bool, interpret: bool = False,
+):
+    """One cascade stage: walk `tail` levels for every (query, chunk).
+
+    seeds (Q, 8, NC, 16, W), t (Q, NC, 1, W), cw_s (Q, tail, 8, 16, 1),
+    cw_tl/cw_tr (Q, tail) mask words, rk (Q, 11, 8, 3, 16, 1),
+    fcw (Q,) mask words (used only when emit_bits).
+    Returns (seeds', t') with NC' = NC << tail, or packed selection-bit
+    words (Q, NC << tail, 1, W) when emit_bits.
+    """
+    q, _, nc, _, w = seeds.shape
+    b_out = 1 << tail
+    cw_tl = cw_tl.reshape(q, tail, 1, 1)
+    cw_tr = cw_tr.reshape(q, tail, 1, 1)
+    in_specs = [
+        pl.BlockSpec((1, 8, 1, 16, w), lambda q_, s: (q_, 0, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, w), lambda q_, s: (q_, s, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tail, 8, 16, 1), lambda q_, s: (q_, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tail, 1, 1), lambda q_, s: (q_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tail, 1, 1), lambda q_, s: (q_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 11, 8, 3, 16, 1), lambda q_, s: (q_, 0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [seeds, t, cw_s, cw_tl, cw_tr, rk]
+    if emit_bits:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1), lambda q_, s: (q_, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(fcw.reshape(q, 1, 1))
+        out_specs = pl.BlockSpec((1, b_out, 1, w), lambda q_, s: (q_, s, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((q, nc * b_out, 1, w), jnp.uint32)
+    else:
+        out_specs = [
+            pl.BlockSpec((1, 8, b_out, 16, w), lambda q_, s: (q_, 0, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b_out, 1, w), lambda q_, s: (q_, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((q, 8, nc * b_out, 16, w), jnp.uint32),
+            jax.ShapeDtypeStruct((q, nc * b_out, 1, w), jnp.uint32),
+        ]
+    return pl.pallas_call(
+        _compat_stage_kernel(tail, emit_bits),
+        grid=(q, nc),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(
     jax.jit, static_argnames=("levels", "interpret")
 )

@@ -155,7 +155,10 @@ class TpuPirServer:
                  plane_table_budget: int = 6 << 30,
                  compat_batch_chunk: int = 8,
                  use_pallas: bool | None = None,
-                 pallas_tail_levels: int = 2):
+                 pallas_tail_levels: int = 2,
+                 compat_pallas_w: int = 128,
+                 compat_pallas_max_tail: int = 3,
+                 compat_pallas_q_chunk: int = 16):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
@@ -168,6 +171,12 @@ class TpuPirServer:
         # interpret mode, as tests/test_pallas_expand.py does directly).
         self._use_pallas = use_pallas
         self.pallas_tail_levels = pallas_tail_levels
+        # cascaded compat expansion geometry (dpf.device.compat_stage_plan):
+        # chunk lane width, per-stage level cap (VMEM bound), lax.map
+        # query-chunk size for the intermediate seed-plane buffers.
+        self.compat_pallas_w = compat_pallas_w
+        self.compat_pallas_max_tail = compat_pallas_max_tail
+        self.compat_pallas_q_chunk = compat_pallas_q_chunk
         # planes tables are 8x the packed table; the budget must leave
         # HBM headroom for XLA operand repacks (observed ~2x transient on
         # the int8 matmul operand), hence the conservative default.
@@ -242,7 +251,10 @@ class TpuPirServer:
         return self._cached(self._storage_cache, ("root", group_size, depth), build)
 
     def _compat_root_plane_table(self, group_size: int, num_bits: int):
-        """Bit-reversed-row plane table for the batched compat path."""
+        """Bit-reversed-row plane table for the batched compat path.
+
+        `num_bits` is the DEVICE domain (post left-child skip — see
+        dpf.device.CompatRootLayout)."""
 
         def build():
             import jax.numpy as jnp
@@ -265,6 +277,33 @@ class TpuPirServer:
 
         return self._cached(
             self._storage_cache, ("compat_root", group_size, num_bits), build
+        )
+
+    def _compat_root_table_u8(self, group_size: int, device_bits: int,
+                              w: int, tails: tuple[int, ...]):
+        """Storage-ordered raw u8 table for the cascaded Pallas compat
+        path (rows scattered by the stacked-chunk walk order)."""
+
+        def build():
+            import jax.numpy as jnp
+
+            from .dpf.device import (
+                _compat_perm_pallas,
+                scatter_rows_to_storage_order,
+            )
+            from .ops.matmul_scan import pad_rows_u8
+
+            h = self.db.db_size // group_size
+            row_bytes = group_size * self.db.slot_bytes
+            flat = 1 << device_bits
+            perm = _compat_perm_pallas(device_bits, h, w, tails)
+            rows = self.db.data[: h * group_size].reshape(h, row_bytes)
+            sc = scatter_rows_to_storage_order(rows, perm, flat)
+            return jnp.asarray(pad_rows_u8(sc, min(2048, flat)))
+
+        return self._cached(
+            self._storage_cache,
+            ("compat_u8", group_size, device_bits, w, tails), build
         )
 
     def _root_table_u8(self, group_size: int, depth: int):
@@ -540,6 +579,59 @@ class TpuPirServer:
                 and len(queries) >= self.mxu_batch_threshold
                 and q0.key_fast.depth >= 5)
 
+    def _compat_device_bits(self, group_size: int) -> int:
+        from .dpf.device import compat_skip_levels
+        from .utils.bits import num_bits_for_height
+
+        h = self.db.db_size // group_size
+        nb = num_bits_for_height(h)
+        return nb - compat_skip_levels(nb, h)
+
+    def _compat_pallas_applicable(self, queries: list[QueryShare]) -> bool:
+        """The cascaded Pallas compat path needs at least one stage after
+        the head walk: device_bits > 5 + log2(w)."""
+        import math
+
+        import jax
+
+        q0 = queries[0]
+        if (q0.key_fast is not None or q0.is_keyword_based
+                or len(queries) < self.mxu_batch_threshold):
+            return False
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = self._use_pallas if self._use_pallas is not None else on_tpu
+        if not use_pallas:
+            return False
+        nbd = self._compat_device_bits(q0.group_size)
+        return nbd > 5 + int(math.log2(self.compat_pallas_w))
+
+    def _dispatch_compat_pallas(self, queries: list[QueryShare]):
+        """Dispatch a uniform compat batch through the cascaded Pallas
+        expansion + fused scan; returns the (Q_pad, row_bytes) uint8
+        device array (async — not yet fetched). Q is padded to a multiple
+        of the lax.map query-chunk size to keep one compiled shape."""
+        import jax
+
+        from .dpf.device import compat_stage_plan, make_compat_payload_batch
+        from .models.pipeline import fused_compat_root_batch_pallas_fn
+
+        g = queries[0].group_size
+        h = self.db.db_size // g
+        nbd = self._compat_device_bits(g)
+        w, mt = self.compat_pallas_w, self.compat_pallas_max_tail
+        _, tails = compat_stage_plan(nbd, w, mt)
+        table = self._compat_root_table_u8(g, nbd, w, tails)
+        qc = self.compat_pallas_q_chunk
+        part = queries
+        if len(part) > qc and len(part) % qc:
+            part = part + part[: qc - (len(part) % qc)]
+        pay, lo = make_compat_payload_batch(part, height=h)
+        on_tpu = jax.default_backend() == "tpu"
+        fn = fused_compat_root_batch_pallas_fn(
+            lo, w=w, max_tail=mt, q_chunk=qc, interpret=not on_tpu
+        )
+        return fn(table, pay)
+
     def _dispatch_fast_root(self, queries: list[QueryShare]):
         """Dispatch a uniform fast-mode batch through a root-start path;
         returns the (Q, row_bytes) uint8 device array (async — not yet
@@ -586,6 +678,10 @@ class TpuPirServer:
             out_dev = self._dispatch_fast_root(queries)
             g, n = queries[0].group_size, len(queries)
             return lambda: self._slice_batch_results(np.asarray(out_dev), g, n)
+        if self._compat_pallas_applicable(queries):
+            out_dev = self._dispatch_compat_pallas(queries)
+            g, n = queries[0].group_size, len(queries)
+            return lambda: self._slice_batch_results(np.asarray(out_dev), g, n)
         res = self.private_secret_shared_query_batch(queries)
         return lambda: res
 
@@ -619,11 +715,12 @@ class TpuPirServer:
             out = np.asarray(self._dispatch_fast_root(queries))
             return self._slice_batch_results(out, g, len(queries))
         if (not fast) and len(queries) >= self.mxu_batch_threshold:
-            from .utils.bits import num_bits_for_height
-
-            nb = num_bits_for_height(h)
-            if nb >= 5:
-                planes = self._compat_root_plane_table(g, nb)
+            if self._compat_pallas_applicable(queries):
+                out = np.asarray(self._dispatch_compat_pallas(queries))
+                return self._slice_batch_results(out, g, len(queries))
+            nbd = self._compat_device_bits(g)
+            if nbd >= 5:
+                planes = self._compat_root_plane_table(g, nbd)
                 if planes is not None:
                     from .dpf.device import make_compat_payload_batch
                     from .models.pipeline import fused_compat_root_batch_fn
@@ -636,7 +733,7 @@ class TpuPirServer:
                         part = queries[s0:s0 + chunk]
                         if len(part) < chunk:  # keep one compiled shape
                             part = part + part[: chunk - len(part)]
-                        pay, lo = make_compat_payload_batch(part)
+                        pay, lo = make_compat_payload_batch(part, height=h)
                         outs.append(fused_compat_root_batch_fn(lo)(planes, pay))
                     results = []
                     for s0, dev in zip(starts, outs):  # then fetch
