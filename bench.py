@@ -141,34 +141,89 @@ def worker():
         f"batch {batch} x {reps} reps, mode={'fast' if fast else 'compat'}")
 
     # one-time relay warmup: the first device->host fetch in a process is
-    # pathologically slow on the tunnel (1-4 min) and occasionally fails
-    # with a transient FailedPrecondition; retry with backoff.
+    # pathologically slow on the tunnel (1-4 min, occasionally worse) and
+    # occasionally fails with a transient FailedPrecondition. It is pure
+    # relay wait, not host CPU, so it runs in a BACKGROUND THREAD while
+    # the host builds the database and the first batches' key material.
     def warm():
         t0 = time.perf_counter()
         np.asarray(jax.jit(lambda x: x + 1)(np.zeros(8, np.uint32)))
         log(f"first-fetch warmup: {time.perf_counter()-t0:.1f}s")
 
-    retry(warm, "relay warmup")
+    import threading
+
+    warm_err = []
+
+    def warm_bg():
+        try:
+            retry(warm, "relay warmup")
+        except Exception as e:  # re-raised on the main thread after join
+            warm_err.append(e)
+
+    warm_thread = threading.Thread(target=warm_bg, daemon=True)
+    warm_thread.start()
 
     rng = np.random.default_rng(0)
-    db = Database(slot_bytes=slot_bytes, db_size=height)
-    db.data = rng.integers(0, 256, size=(height, slot_bytes), dtype=np.uint8)
+    from pir_tpu.slot import Slot
 
-    server = TpuPirServer(db)
-    md = db.metadata()
-    table_bytes = height * (-(-slot_bytes // 4) * 4)
+    def build_db(h, sb):
+        d = Database(slot_bytes=sb, db_size=h)
+        d.data = rng.integers(0, 256, size=(h, sb), dtype=np.uint8)
+        return d
 
-    def make_batch(both=False):
-        idxs = rng.integers(0, height, size=batch)
-        shares = [q.new_index_query_shares(md, int(i), 1, 2, fast=fast)
+    def make_batch_for(md_, h, n, both=False):
+        idxs = rng.integers(0, h, size=n)
+        shares = [q.new_index_query_shares(md_, int(i), 1, 2, fast=fast)
                   for i in idxs]
         if both:
             return [s[0] for s in shares], [s[1] for s in shares], idxs
         return [s[0] for s in shares], idxs
 
+    # Phase 0 — quick milestone on a small table. The headline 1 GiB phase
+    # needs a multi-minute table upload + (on a cold cache) a remote
+    # compile; if the relay is having a bad day that can eat the whole
+    # budget and leave the driver with nothing. A 2^17 x 256 B table
+    # uploads in seconds and lands a real measured number first.
+    small_default = "0" if "BENCH_HEIGHT" in os.environ else "1"
+    if os.environ.get("BENCH_SMALL", small_default) == "1":
+        sh = int(os.environ.get("BENCH_SMALL_HEIGHT", 1 << 17))
+        ssb = int(os.environ.get("BENCH_SMALL_SLOT_BYTES", 256))
+        sbatch = int(os.environ.get("BENCH_SMALL_BATCH", 64))
+        sdb = build_db(sh, ssb)
+        sserver = TpuPirServer(sdb)
+        smd = sdb.metadata()
+        stable_bytes = sh * (-(-ssb // 4) * 4)
+        sa, sb_, sidx = make_batch_for(smd, sh, sbatch, both=True)
+        t0 = time.perf_counter()
+        sres_a = retry(lambda: sserver.private_secret_shared_query_batch(sa),
+                       "small batch compile+run")
+        log(f"small-table warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        sres_b = sserver.private_secret_shared_query_batch(sb_)
+        st = time.perf_counter() - t0
+        for i in range(sbatch):
+            rec = q.recover([sres_a[i], sres_b[i]])
+            assert Slot(sdb.data[sidx[i]].tobytes()).equal(rec[0]), \
+                f"small-table recovery mismatch at element {i}"
+        log(f"small-table recovery check: {sbatch}/{sbatch} rows OK")
+        milestone(sbatch * stable_bytes / st / 1e9,
+                  f"small_table_{sh}x{ssb}B", qps=sbatch / st)
+        del sserver, sdb
+
+    db = build_db(height, slot_bytes)
+    server = TpuPirServer(db)
+    md = db.metadata()
+    table_bytes = height * (-(-slot_bytes // 4) * 4)
+
+    def make_batch(both=False):
+        return make_batch_for(md, height, batch, both=both)
+
     # batch-fn compile + full-batch correctness check (two servers' shares
     # recover every row) -- doubles as the compile warm-up for the shape.
     bs_a, bs_b, idxs = make_batch(both=True)
+    warm_thread.join()
+    if warm_err:
+        raise warm_err[0]
     t0 = time.perf_counter()
     res_a = retry(lambda: server.private_secret_shared_query_batch(bs_a),
                   "batch compile+run")
@@ -176,8 +231,6 @@ def worker():
     t0 = time.perf_counter()
     res_b = server.private_secret_shared_query_batch(bs_b)
     one_rep_t = time.perf_counter() - t0
-    from pir_tpu.slot import Slot
-
     for i in range(batch):
         rec = q.recover([res_a[i], res_b[i]])
         assert Slot(db.data[idxs[i]].tobytes()).equal(rec[0]), \
