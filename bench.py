@@ -59,17 +59,12 @@ def remaining() -> float:
 
 def enable_compile_cache():
     """Persistent XLA compile cache: first runs pay minutes of remote
-    compile per jit shape; subsequent processes reuse executables."""
-    import jax
+    compile per jit shape; subsequent processes reuse executables. The
+    repo ships pre-warmed entries for the default bench shapes in
+    .xla_cache/ (see pir_tpu.config.default_cache_dir)."""
+    from pir_tpu.config import enable_compile_cache as _enable
 
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/pir_tpu_jax_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _enable()
 
 
 def emit(obj: dict) -> None:

@@ -36,19 +36,39 @@ class PirConfig:
         return self
 
 
+def default_cache_dir() -> str:
+    """Default persistent-cache location: the repo-level .xla_cache (it
+    ships pre-warmed entries for the bench shapes, surviving /tmp wipes),
+    falling back to /tmp when the package is installed read-only.
+
+    NOTE on key stability: Mosaic kernel serialization depends on the
+    order of prior Pallas lowerings in the process, so entries only hit
+    in processes that jit the same shapes in the same order (bench.py
+    keeps its phase order fixed for exactly this reason)."""
+    import os
+
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cand = os.path.join(repo, ".xla_cache")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        if os.access(cand, os.W_OK):
+            return cand
+    except OSError:
+        pass
+    return "/tmp/pir_tpu_jax_cache"
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Best-effort persistent XLA compile cache (huge win on remote-compile
     rigs; see CLAUDE.md). Call before the first jit compilation."""
-    import os
-
     try:
         import jax
 
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                   "/tmp/pir_tpu_jax_cache"),
-        )
+        jax.config.update("jax_compilation_cache_dir",
+                          path or default_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
