@@ -270,8 +270,8 @@ def worker():
     # steady-state pipelined throughput (the serving configuration): the
     # async batch API keeps the device busy while the host builds the
     # next batch's payloads and fetches the previous results.
-    pipe_reps = int(os.environ.get("BENCH_PIPE_REPS", max(8, reps)))
-    pipe_depth = int(os.environ.get("BENCH_PIPE_DEPTH", 3))
+    pipe_reps = int(os.environ.get("BENCH_PIPE_REPS", max(12, reps)))
+    pipe_depth = int(os.environ.get("BENCH_PIPE_DEPTH", 6))
     # payload builds cost host time too; shrink the run if the budget is low
     while pipe_reps > 3 and remaining() < 30 + pipe_reps * 1.5 * bt + pipe_reps * 2:
         pipe_reps -= 1

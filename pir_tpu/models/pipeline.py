@@ -369,9 +369,16 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
         if pad:
             bits = jnp.pad(bits, ((0, 0), (0, pad)))
         rows, b = table_u8.shape
-        br = next(x for x in (block_rows, 2048, 1024, 512, 256, 128, rows)
-                  if rows % x == 0)
-        bc = block_cols if b % block_cols == 0 else b
+        q = bits.shape[0]
+        # VMEM budget: bits (q, br) + 8x plane/table (br, bc) + dot result
+        # and accumulator (q, bc, i32) must fit 16 MB. The q <= 512
+        # choices are frozen (cached executables depend on them); larger
+        # batches halve the tile dims.
+        max_br, max_bc = (block_rows, block_cols) if q <= 512 else (
+            1024, 256) if q <= 1024 else (512, 128)
+        br = next(x for x in (max_br, 2048, 1024, 512, 256, 128, rows)
+                  if x <= max_br and rows % x == 0)
+        bc = max_bc if b % max_bc == 0 else b
         return mxu_batched_scan_pallas(
             table_u8, bits, block_rows=br, block_cols=bc,
             interpret=interpret,
@@ -498,9 +505,14 @@ def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
         if pad:
             bits = jnp.pad(bits, ((0, 0), (0, pad)))
         rows, b = table_u8.shape
+        qn_ = bits.shape[0]
+        # frozen tile choices for q <= 512 (cached executables); larger
+        # batches halve the tiles to stay inside the 16 MB VMEM budget
+        max_br, max_bc = (2048, 512) if qn_ <= 512 else (
+            1024, 256) if qn_ <= 1024 else (512, 128)
         br = next(x for x in (2048, 1024, 512, 256, 128, rows)
-                  if rows % x == 0)
-        bc = 512 if b % 512 == 0 else b
+                  if x <= max_br and rows % x == 0)
+        bc = max_bc if b % max_bc == 0 else b
         return mxu_batched_scan_pallas(
             table_u8, bits, block_rows=br, block_cols=bc, interpret=interpret
         )
