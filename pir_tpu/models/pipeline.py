@@ -111,6 +111,25 @@ def fused_answer_batch_fn(layout):
     return jax.jit(fn)
 
 
+def scan_tile_sizes(q: int, rows: int, b: int,
+                    max_br: int = 2048, max_bc: int = 512):
+    """(block_rows, block_cols) for the Pallas batched scan.
+
+    The bits operand (q, br) and the int32 dot/accumulator (q, bc) scale
+    with the query count, so tiles halve at q > 512 and again at
+    q > 1024 to stay inside the 16 MB scoped-VMEM budget. The q <= 512
+    choices are frozen: cached executables' keys depend on them.
+    """
+    if q > 1024:
+        max_br, max_bc = min(max_br, 512), min(max_bc, 128)
+    elif q > 512:
+        max_br, max_bc = min(max_br, 1024), min(max_bc, 256)
+    br = next(x for x in (max_br, 2048, 1024, 512, 256, 128, rows)
+              if x <= max_br and rows % x == 0)
+    bc = max_bc if b % max_bc == 0 else b
+    return br, bc
+
+
 def _expand_planes_loop(seeds, t_plane, cw_s, cw_tl, cw_tr, rk, d_levels: int):
     from ..dpf.device import _children, _prf_triple
 
@@ -369,16 +388,8 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
         if pad:
             bits = jnp.pad(bits, ((0, 0), (0, pad)))
         rows, b = table_u8.shape
-        q = bits.shape[0]
-        # VMEM budget: bits (q, br) + 8x plane/table (br, bc) + dot result
-        # and accumulator (q, bc, i32) must fit 16 MB. The q <= 512
-        # choices are frozen (cached executables depend on them); larger
-        # batches halve the tile dims.
-        max_br, max_bc = (block_rows, block_cols) if q <= 512 else (
-            1024, 256) if q <= 1024 else (512, 128)
-        br = next(x for x in (max_br, 2048, 1024, 512, 256, 128, rows)
-                  if x <= max_br and rows % x == 0)
-        bc = max_bc if b % max_bc == 0 else b
+        br, bc = scan_tile_sizes(bits.shape[0], rows, b,
+                                 max_br=block_rows, max_bc=block_cols)
         return mxu_batched_scan_pallas(
             table_u8, bits, block_rows=br, block_cols=bc,
             interpret=interpret,
@@ -505,14 +516,7 @@ def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
         if pad:
             bits = jnp.pad(bits, ((0, 0), (0, pad)))
         rows, b = table_u8.shape
-        qn_ = bits.shape[0]
-        # frozen tile choices for q <= 512 (cached executables); larger
-        # batches halve the tiles to stay inside the 16 MB VMEM budget
-        max_br, max_bc = (2048, 512) if qn_ <= 512 else (
-            1024, 256) if qn_ <= 1024 else (512, 128)
-        br = next(x for x in (2048, 1024, 512, 256, 128, rows)
-                  if x <= max_br and rows % x == 0)
-        bc = max_bc if b % max_bc == 0 else b
+        br, bc = scan_tile_sizes(bits.shape[0], rows, b)
         return mxu_batched_scan_pallas(
             table_u8, bits, block_rows=br, block_cols=bc, interpret=interpret
         )
