@@ -168,8 +168,13 @@ def worker():
 
     def make_batch_for(md_, h, n, both=False):
         idxs = rng.integers(0, h, size=n)
-        shares = [q.new_index_query_shares(md_, int(i), 1, 2, fast=fast)
-                  for i in idxs]
+        if fast:  # vectorised batch keygen (one tree walk for the batch)
+            shares = q.new_fast_index_query_shares_batch(
+                md_, [int(i) for i in idxs], 1
+            )
+        else:
+            shares = [q.new_index_query_shares(md_, int(i), 1, 2, fast=fast)
+                      for i in idxs]
         if both:
             return [s[0] for s in shares], [s[1] for s in shares], idxs
         return [s[0] for s in shares], idxs
@@ -297,6 +302,11 @@ def worker():
     for _ in range(8):
         q.new_index_query_shares(md, 7, 1, 2, fast=fast)
     log(f"client keygen: {(time.perf_counter()-t0)/8*1e3:.2f} ms/query")
+    if fast:
+        t0 = time.perf_counter()
+        q.new_fast_index_query_shares_batch(md, list(range(256)), 1)
+        log(f"client keygen (batched x256): "
+            f"{(time.perf_counter()-t0)/256*1e3:.3f} ms/query")
 
     # the single-query fallback path is a separate jit shape: a cache miss
     # costs ~500 s of remote compile, so only attempt it with real headroom

@@ -462,6 +462,86 @@ def generate_two_server_fast(dpf: Dpf, a: int, height: int) -> list[FastKey2P]:
     ]
 
 
+def generate_two_server_fast_batch(
+    dpf: Dpf, indices: "list[int]", height: int
+) -> "list[list[FastKey2P]]":
+    """Vectorised fast-mode keygen: one tree walk for Q queries at once.
+
+    Semantically identical to Q calls of generate_two_server_fast (same
+    per-query randomness model; numpy replaces the per-byte Python
+    loops, and each level's 2Q PRG expansions run as two AES-NI ECB
+    dispatches). All Q keys share the caller's ``dpf`` PRF keys — the
+    PRF keys are public (every server receives them with the share,
+    query.go:83-98), so sharing them across a client's batch does not
+    weaken the DPF: security rests on the fresh per-query seeds.
+    ~100x the per-query python keygen on the 1-core rig at batch 1024.
+
+    Returns [ [key_server0, key_server1] for each index ].
+    """
+    depth = fast_depth_for_height(height)
+    q = len(indices)
+    idx = np.asarray(indices, dtype=np.uint64)
+    if q and (idx >= height).any():
+        raise ValueError("requesting key outside of domain")
+    leaf = (idx >> 7).astype(np.uint64)
+
+    rnd = np.frombuffer(os.urandom(q * 33), np.uint8).reshape(q, 33)
+    s0 = rnd[:, :16].copy()
+    t0 = (rnd[:, 32] & 1).astype(np.uint8)
+    s1 = rnd[:, 16:32].copy()
+    t1 = t0 ^ 1
+
+    s_curr0, s_curr1 = s0.copy(), s1.copy()
+    t_curr0, t_curr1 = t0.copy(), t1.copy()
+    cw = np.zeros((q, depth, 18), np.uint8)
+    cols = np.arange(16)
+    for i in range(depth):
+        out0 = prf_blocks(s_curr0, dpf.ciphers, 3).reshape(q, 48)
+        out1 = prf_blocks(s_curr1, dpf.ciphers, 3).reshape(q, 48)
+        a_bit = ((leaf >> np.uint64(depth - 1 - i)) & np.uint64(1)).astype(
+            np.uint8
+        )
+        # keep/lose offsets into the 48-byte PRG output: left expansion
+        # at byte 0, right at byte 17 (dpf/client.go:99-116 layout)
+        keep = np.where(a_bit == 0, 0, 17).astype(np.int64)[:, None]
+        lose = 17 - keep
+        cw_seed = (np.take_along_axis(out0, lose + cols, 1)
+                   ^ np.take_along_axis(out1, lose + cols, 1))
+        cw_tl = (out0[:, 16] & 1) ^ (out1[:, 16] & 1) ^ a_bit ^ 1
+        cw_tr = (out0[:, 33] & 1) ^ (out1[:, 33] & 1) ^ a_bit
+        cw[:, i, :16] = cw_seed
+        cw[:, i, 16] = cw_tl
+        cw[:, i, 17] = cw_tr
+        s_curr0 = (np.take_along_axis(out0, keep + cols, 1)
+                   ^ (t_curr0[:, None] * cw_seed))
+        s_curr1 = (np.take_along_axis(out1, keep + cols, 1)
+                   ^ (t_curr1[:, None] * cw_seed))
+        t_cw_keep = np.where(a_bit == 0, cw_tl, cw_tr)
+        t_next0 = np.take_along_axis(out0, keep + 16, 1)[:, 0] & 1
+        t_next1 = np.take_along_axis(out1, keep + 16, 1)[:, 0] & 1
+        t_curr0 = t_next0 ^ (t_cw_keep * t_curr0)
+        t_curr1 = t_next1 ^ (t_cw_keep * t_curr1)
+
+    blk0 = _leaf_block(dpf, s_curr0)
+    blk1 = _leaf_block(dpf, s_curr1)
+    within = (idx & np.uint64(LEAF_BITS - 1)).astype(np.int64)
+    e_a = np.zeros((q, 16), np.uint8)
+    e_a[np.arange(q), within >> 3] = (1 << (within & 7)).astype(np.uint8)
+    fcw = blk0 ^ blk1 ^ e_a
+
+    return [
+        [
+            FastKey2P(s0[j].tobytes(), int(t0[j]),
+                      [cw[j, i].tobytes() for i in range(depth)],
+                      fcw[j].tobytes(), depth, height),
+            FastKey2P(s1[j].tobytes(), int(t1[j]),
+                      [cw[j, i].tobytes() for i in range(depth)],
+                      fcw[j].tobytes(), depth, height),
+        ]
+        for j in range(q)
+    ]
+
+
 def eval_full_domain_fast_bits(dpf: Dpf, key: FastKey2P) -> np.ndarray:
     """(height,) bool selection-bit share, natural row order (host golden)."""
     saved = dpf.num_bits

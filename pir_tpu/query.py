@@ -116,6 +116,39 @@ def new_fast_index_query_shares(
     ]
 
 
+def new_fast_index_query_shares_batch(
+    dbmd: DBMetadata, indices: list[int], group_size: int,
+    num_shares: int = 2,
+) -> list[list[QueryShare]]:
+    """Batched fast-mode share construction: one vectorised keygen walk
+    for the whole batch (dpf.host.generate_two_server_fast_batch). All
+    queries share one set of (public) PRF keys; seeds stay per-query.
+    Returns one [share_0, share_1] pair per index."""
+    if num_shares != 2:
+        raise NotImplementedError("fast mode is two-party")
+    dim_height = dbmd.db_size // group_size
+    if dim_height == 0:
+        raise ValueError("database height is set to zero; something is wrong")
+    pf = dpf.client_initialize(dpf.fast_depth_for_height(dim_height))
+    key_pairs = dpf.generate_two_server_fast_batch(pf, indices, dim_height)
+    return [
+        [
+            QueryShare(
+                key_two_party=None,
+                key_multi_party=None,
+                prf_keys=pf.prf_keys,
+                is_keyword_based=False,
+                is_two_party=True,
+                share_number=i,
+                group_size=group_size,
+                key_fast=pair[i],
+            )
+            for i in range(num_shares)
+        ]
+        for pair in key_pairs
+    ]
+
+
 def new_keyword_query_shares(
     dbmd: DBMetadata, keyword: int, group_size: int, num_shares: int
 ) -> list[QueryShare]:

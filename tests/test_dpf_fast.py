@@ -150,3 +150,39 @@ def test_fast_root_batched_path():
     for k, i in enumerate(idxs):
         res = q.recover([out0[k], out1[k]])
         assert db.slot(i).equal(res[0]), (k, i)
+
+
+def test_fast_batch_keygen_one_hot():
+    """Vectorised batch keygen == per-query semantics: every pair's bit
+    shares XOR to exactly the target row's one-hot."""
+    rng = random.Random(11)
+    for height in (50, 128, 1000, 4096, 5000):
+        targets = [rng.randrange(height) for _ in range(9)]
+        client = dpf.client_initialize(dpf.fast_depth_for_height(height))
+        pairs = dpf.generate_two_server_fast_batch(client, targets, height)
+        server = dpf.server_initialize(client.prf_keys, client.num_bits)
+        for target, pair in zip(targets, pairs):
+            sel = (dpf.eval_full_domain_fast_bits(server, pair[0])
+                   ^ dpf.eval_full_domain_fast_bits(server, pair[1]))
+            assert sel[target] and sel.sum() == 1, (height, target)
+
+
+def test_fast_batch_keygen_out_of_domain():
+    client = dpf.client_initialize(dpf.fast_depth_for_height(64))
+    try:
+        dpf.generate_two_server_fast_batch(client, [3, 64], 64)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_fast_batch_shares_roundtrip():
+    """query-layer batch API recovers true rows end-to-end (host golden)."""
+    rng = random.Random(12)
+    db = generate_random_db(1 << 12, 16)
+    idxs = [rng.randrange(db.db_size) for _ in range(17)]
+    batches = q.new_fast_index_query_shares_batch(db.metadata(), idxs, 1)
+    for idx, shares in zip(idxs, batches):
+        res = q.recover([srv.private_secret_shared_query(db, s)
+                         for s in shares])
+        assert db.slot(idx).equal(res[0])
