@@ -61,9 +61,55 @@ def default_cache_dir() -> str:
     return "/tmp/pir_tpu_jax_cache"
 
 
+_pallas_keys_stabilized = False
+
+
+def stabilize_pallas_cache_keys() -> None:
+    """Make Pallas/Mosaic cache keys deterministic across processes.
+
+    The Mosaic kernel module is serialized (with its MLIR debug
+    locations) into the outer StableHLO module as a string attribute, so
+    JAX's strip-debuginfo pass — which runs on the outer module before
+    hashing the compile-cache key — never reaches it. The embedded
+    locations make the key depend on (a) source line numbers of every
+    frame in the kernel's trace and (b) the sequence of prior Pallas
+    lowerings in the process (location interning). Both were measured to
+    flip the key for byte-identical kernels, defeating the persistent
+    cache entirely on remote-compile rigs.
+
+    This strips debug info from the Mosaic module just before its
+    serialization, making the payload a pure function of the kernel
+    computation. Cost: Mosaic compile errors lose source locations.
+    Must run before the first Pallas lowering; idempotent."""
+    global _pallas_keys_stabilized
+    if _pallas_keys_stabilized:
+        return
+    try:
+        import jax._src.tpu_custom_call as tcc
+        from jax._src.lib.mlir import passmanager as _pm
+
+        _orig = tcc._lower_mosaic_module_to_asm
+
+        def _stable_lower(module, *, ir_version=None):
+            try:
+                with module.context:
+                    _pm.PassManager.parse(
+                        "builtin.module(strip-debuginfo)"
+                    ).run(module.operation)
+            except Exception:
+                pass  # diagnostics-only loss; fall through to serialize
+            return _orig(module, ir_version=ir_version)
+
+        tcc._lower_mosaic_module_to_asm = _stable_lower
+        _pallas_keys_stabilized = True
+    except Exception:
+        pass
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Best-effort persistent XLA compile cache (huge win on remote-compile
     rigs; see CLAUDE.md). Call before the first jit compilation."""
+    stabilize_pallas_cache_keys()
     try:
         import jax
 

@@ -216,3 +216,16 @@ def test_concurrent_clients_over_tcp():
     finally:
         s0.close()
         s1.close()
+
+
+def test_stabilize_pallas_cache_keys_idempotent():
+    """The Mosaic debug-strip patch installs once and keeps the original
+    serializer reachable (a second call must not re-wrap)."""
+    from pir_tpu import config as cfg
+
+    cfg.stabilize_pallas_cache_keys()
+    import jax._src.tpu_custom_call as tcc
+
+    first = tcc._lower_mosaic_module_to_asm
+    cfg.stabilize_pallas_cache_keys()
+    assert tcc._lower_mosaic_module_to_asm is first
