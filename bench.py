@@ -168,13 +168,10 @@ def worker():
 
     def make_batch_for(md_, h, n, both=False):
         idxs = rng.integers(0, h, size=n)
-        if fast:  # vectorised batch keygen (one tree walk for the batch)
-            shares = q.new_fast_index_query_shares_batch(
-                md_, [int(i) for i in idxs], 1
-            )
-        else:
-            shares = [q.new_index_query_shares(md_, int(i), 1, 2, fast=fast)
-                      for i in idxs]
+        # vectorised batch keygen: one tree walk for the whole batch
+        shares = q.new_index_query_shares_batch(
+            md_, [int(i) for i in idxs], 1, 2, fast=fast
+        )
         if both:
             return [s[0] for s in shares], [s[1] for s in shares], idxs
         return [s[0] for s in shares], idxs

@@ -142,6 +142,72 @@ def generate_two_server(dpf: Dpf, a: int, b: int) -> list[Key2P]:
     ]
 
 
+def generate_two_server_batch(
+    dpf: Dpf, points: "list[int]", b: int
+) -> "list[list[Key2P]]":
+    """Vectorised reference-semantics keygen: Q keys in one tree walk.
+
+    Identical per-key semantics to generate_two_server (dpf/client.go:
+    56-150 incl. the signed-Varint FinalCW); numpy replaces the
+    per-byte Python loops and each level's 2Q PRG expansions run as two
+    AES-NI ECB dispatches. All Q keys share the caller's ``dpf`` PRF
+    keys — those are public (sent to every server with the share), so
+    security rests on the fresh per-query seeds.
+    """
+    nb = dpf.num_bits
+    q = len(points)
+    pts = np.asarray(points, dtype=np.uint64)
+
+    rnd = np.frombuffer(os.urandom(q * 33), np.uint8).reshape(q, 33)
+    s0 = rnd[:, :16].copy()
+    t0 = (rnd[:, 32] & 1).astype(np.uint8)
+    s1 = rnd[:, 16:32].copy()
+    t1 = t0 ^ 1
+
+    s_curr0, s_curr1 = s0.copy(), s1.copy()
+    t_curr0, t_curr1 = t0.copy(), t1.copy()
+    cw = np.zeros((q, nb, 18), np.uint8)
+    cols = np.arange(16)
+    for i in range(nb):
+        out0 = prf_blocks(s_curr0, dpf.ciphers, 3).reshape(q, 48)
+        out1 = prf_blocks(s_curr1, dpf.ciphers, 3).reshape(q, 48)
+        a_bit = ((pts >> np.uint64(nb - 1 - i)) & np.uint64(1)).astype(
+            np.uint8
+        )
+        keep = np.where(a_bit == 0, 0, 17).astype(np.int64)[:, None]
+        lose = 17 - keep
+        cw_seed = (np.take_along_axis(out0, lose + cols, 1)
+                   ^ np.take_along_axis(out1, lose + cols, 1))
+        cw_tl = (out0[:, 16] & 1) ^ (out1[:, 16] & 1) ^ a_bit ^ 1
+        cw_tr = (out0[:, 33] & 1) ^ (out1[:, 33] & 1) ^ a_bit
+        cw[:, i, :16] = cw_seed
+        cw[:, i, 16] = cw_tl
+        cw[:, i, 17] = cw_tr
+        s_curr0 = (np.take_along_axis(out0, keep + cols, 1)
+                   ^ (t_curr0[:, None] * cw_seed))
+        s_curr1 = (np.take_along_axis(out1, keep + cols, 1)
+                   ^ (t_curr1[:, None] * cw_seed))
+        t_cw_keep = np.where(a_bit == 0, cw_tl, cw_tr)
+        t_curr0 = ((np.take_along_axis(out0, keep + 16, 1)[:, 0] & 1)
+                   ^ (t_cw_keep * t_curr0))
+        t_curr1 = ((np.take_along_axis(out1, keep + 16, 1)[:, 0] & 1)
+                   ^ (t_cw_keep * t_curr1))
+
+    out = []
+    for j in range(q):
+        s_final0, _ = go_varint(s_curr0[j, :8].tobytes())
+        s_final1, _ = go_varint(s_curr1[j, :8].tobytes())
+        final_cw = b - s_final0 + s_final1
+        if t_curr1[j] == 1:
+            final_cw = -final_cw
+        cws = [cw[j, i].tobytes() for i in range(nb)]
+        out.append([
+            Key2P(s0[j].tobytes(), int(t0[j]), cws, final_cw),
+            Key2P(s1[j].tobytes(), int(t1[j]), cws, final_cw),
+        ])
+    return out
+
+
 def _mp_params(num_bits: int, num_parties: int):
     """Derived exactly from the eval's arithmetic (dpf/server.go:119-124)."""
     p2 = 1 << (num_parties - 1)

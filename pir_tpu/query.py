@@ -149,6 +149,63 @@ def new_fast_index_query_shares_batch(
     ]
 
 
+def _new_query_shares_batch(
+    dbmd: DBMetadata, keys: list[int], group_size: int, num_shares: int,
+    is_index_query: bool,
+) -> list[list[QueryShare]]:
+    """Vectorised reference-semantics share construction (one tree walk
+    for the batch; dpf.host.generate_two_server_batch). Two-party only."""
+    if num_shares != 2:
+        return [
+            _new_query_shares(dbmd, k, group_size, num_shares, is_index_query)
+            for k in keys
+        ]
+    dim_height = dbmd.db_size // group_size
+    if dim_height == 0:
+        raise ValueError("database height is set to zero; something is wrong")
+    num_bits = num_bits_for_height(dim_height) if is_index_query else 32
+    if is_index_query and any(k >= dim_height for k in keys):
+        raise ValueError("requesting key outside of domain")
+    pf = dpf.client_initialize(num_bits)
+    pairs = dpf.generate_two_server_batch(pf, list(keys), 1)
+    return [
+        [
+            QueryShare(
+                key_two_party=pair[i],
+                key_multi_party=None,
+                prf_keys=pf.prf_keys,
+                is_keyword_based=not is_index_query,
+                is_two_party=True,
+                share_number=i,
+                group_size=group_size,
+            )
+            for i in range(2)
+        ]
+        for pair in pairs
+    ]
+
+
+def new_index_query_shares_batch(
+    dbmd: DBMetadata, indices: list[int], group_size: int,
+    num_shares: int = 2, fast: bool = False,
+) -> list[list[QueryShare]]:
+    """Batched share construction; one [share per server] list per index."""
+    if fast:
+        return new_fast_index_query_shares_batch(
+            dbmd, indices, group_size, num_shares
+        )
+    return _new_query_shares_batch(dbmd, indices, group_size, num_shares, True)
+
+
+def new_keyword_query_shares_batch(
+    dbmd: DBMetadata, keywords: list[int], group_size: int,
+    num_shares: int = 2,
+) -> list[list[QueryShare]]:
+    """Batched keyword-DPF share construction (32-bit domain)."""
+    return _new_query_shares_batch(dbmd, keywords, group_size, num_shares,
+                                   False)
+
+
 def new_keyword_query_shares(
     dbmd: DBMetadata, keyword: int, group_size: int, num_shares: int
 ) -> list[QueryShare]:

@@ -271,23 +271,12 @@ class PirClient:
                           fast: bool = True):
         """Batched retrieval: one round trip per server for all indices.
         Fast-mode keygen runs vectorised over the whole batch."""
-        from .query import (
-            new_fast_index_query_shares_batch,
-            new_index_query_shares,
-        )
+        from .query import new_index_query_shares_batch
 
-        if fast and len(self._socks) == 2:
-            share_lists = new_fast_index_query_shares_batch(
-                self.metadata, list(indices), group_size
-            )
-        else:
-            share_lists = [
-                new_index_query_shares(
-                    self.metadata, idx, group_size, len(self._socks),
-                    fast=fast,
-                )
-                for idx in indices
-            ]
+        share_lists = new_index_query_shares_batch(
+            self.metadata, list(indices), group_size, len(self._socks),
+            fast=fast,
+        )
         per_server: list[list[bytes]] = [[] for _ in self._socks]
         for shares in share_lists:
             for k, share in enumerate(shares):

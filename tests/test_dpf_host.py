@@ -100,3 +100,58 @@ def test_multi_server_keygen_rejects_two_parties():
     client = dpf.client_initialize(10)
     with pytest.raises(ValueError):
         dpf.generate_multi_server(client, 1, 1, 2)
+
+
+def test_batch_keygen_compat_sum_shares():
+    """generate_two_server_batch == per-query semantics: shares sum to b
+    at the point and 0 elsewhere (the dpf_test.go:11-107 property)."""
+    import random
+
+    rng = random.Random(21)
+    num_bits = 9
+    client = dpf.client_initialize(num_bits)
+    targets = [rng.randrange(1 << num_bits) for _ in range(7)]
+    pairs = dpf.generate_two_server_batch(client, targets, 1)
+    server = dpf.server_initialize(client.prf_keys, num_bits)
+    for target, pair in zip(targets, pairs):
+        for x in {target, 0, (target + 1) % (1 << num_bits)}:
+            v0 = dpf.evaluate_2p(server, 0, pair[0], x)
+            v1 = dpf.evaluate_2p(server, 1, pair[1], x)
+            want = 1 if x == target else 0
+            assert (v0 + v1) % (1 << 64) == want, (x, target, v0, v1)
+
+
+def test_batch_keygen_compat_roundtrip():
+    from pir_tpu import query as q
+    from pir_tpu import server as srv
+    from pir_tpu.database import generate_random_db
+    import random
+
+    rng = random.Random(22)
+    db = generate_random_db(1 << 10, 8)
+    idxs = [rng.randrange(db.db_size) for _ in range(9)]
+    batches = q.new_index_query_shares_batch(db.metadata(), idxs, 1, 2)
+    for idx, shares in zip(idxs, batches):
+        res = q.recover([srv.private_secret_shared_query(db, s)
+                         for s in shares])
+        assert db.slot(idx).equal(res[0])
+
+
+def test_batch_keygen_keyword_roundtrip():
+    from pir_tpu import query as q
+    from pir_tpu import server as srv
+    from pir_tpu.database import generate_random_db
+    import random
+
+    rng = random.Random(23)
+    db = generate_random_db(256, 8)
+    kws = rng.sample(range(1 << 31), 256)
+    db.set_keywords(kws)
+    picks = rng.sample(range(256), 5)
+    batches = q.new_keyword_query_shares_batch(
+        db.metadata(), [kws[p] for p in picks], 1
+    )
+    for p, shares in zip(picks, batches):
+        res = q.recover([srv.private_secret_shared_query(db, s)
+                         for s in shares])
+        assert db.slot(p).equal(res[0])
