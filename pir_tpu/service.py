@@ -277,6 +277,10 @@ class PirClient:
             self.metadata, list(indices), group_size, len(self._socks),
             fast=fast,
         )
+        return self._fan_out_recover_batch(share_lists)
+
+    def _fan_out_recover_batch(self, share_lists):
+        """One OP_QUERY_BATCH round trip per server; recover per query."""
         per_server: list[list[bytes]] = [[] for _ in self._socks]
         for shares in share_lists:
             for k, share in enumerate(shares):
@@ -305,10 +309,24 @@ class PirClient:
                 answers.append(results)
         return [
             recover([answers[k][i] for k in range(len(self._socks))])
-            for i in range(len(indices))
+            for i in range(len(share_lists))
         ]
 
     # ---- keyword PIR ----
+
+    def query_keyword_dpf_batch(self, keywords: list[int],
+                                group_size: int = 1):
+        """Batched keyword-DPF retrieval: vectorised keygen, one round
+        trip per server (server side routes through the batched keyword
+        expansion)."""
+        from .query import new_keyword_query_shares_batch
+
+        if not (self.db_flags & wire.META_HAS_KEYWORDS):
+            raise RuntimeError("service database has no keyword column")
+        share_lists = new_keyword_query_shares_batch(
+            self.metadata, list(keywords), group_size, len(self._socks)
+        )
+        return self._fan_out_recover_batch(share_lists)
 
     def query_keyword_dpf(self, keyword: int, group_size: int = 1):
         """Keyword PIR via DPF over the server's keyword column

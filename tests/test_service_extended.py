@@ -229,3 +229,22 @@ def test_stabilize_pallas_cache_keys_idempotent():
     first = tcc._lower_mosaic_module_to_asm
     cfg.stabilize_pallas_cache_keys()
     assert tcc._lower_mosaic_module_to_asm is first
+
+
+def test_keyword_dpf_batch_over_tcp():
+    rng = random.Random(31)
+    db = generate_random_db(512, 6)
+    kws = np.array(rng.sample(range(1 << 32), 512), dtype=np.uint64)
+    db.set_keywords(kws)
+    s0 = PirService(db).start()
+    s1 = PirService(db).start()
+    try:
+        client = PirClient([s0.address, s1.address])
+        rows = [rng.randrange(512) for _ in range(5)]
+        res = client.query_keyword_dpf_batch([int(kws[r]) for r in rows])
+        for r, slots in zip(rows, res):
+            assert Slot(db.data[r].tobytes()).equal(slots[0]), r
+        client.close()
+    finally:
+        s0.close()
+        s1.close()
