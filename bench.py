@@ -195,6 +195,12 @@ def worker():
         sres_a = retry(lambda: sserver.private_secret_shared_query_batch(sa),
                        "small batch compile+run")
         log(f"small-table warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
+        # the background warm fetch was dispatched before sres_a, so once
+        # sres_a's fetch has landed the warm one has (or is about to);
+        # join here so the TIMED rep below never contends with it.
+        warm_thread.join()
+        if warm_err:
+            raise warm_err[0]
         t0 = time.perf_counter()
         sres_b = sserver.private_secret_shared_query_batch(sb_)
         st = time.perf_counter() - t0
@@ -220,9 +226,14 @@ def worker():
         for f in fins:
             n_out += len(f())
         spt = time.perf_counter() - t0
-        milestone(max(n_out * stable_bytes / spt / 1e9,
-                      sbatch * stable_bytes / st / 1e9),
-                  f"small_table_{sh}x{ssb}B_pipelined", qps=n_out / spt)
+        # report whichever run was faster, keeping (GB/s, qps) from the
+        # SAME run so the pair stays self-consistent
+        if n_out * stable_bytes / spt >= sbatch * stable_bytes / st:
+            milestone(n_out * stable_bytes / spt / 1e9,
+                      f"small_table_{sh}x{ssb}B_pipelined", qps=n_out / spt)
+        else:
+            milestone(sbatch * stable_bytes / st / 1e9,
+                      f"small_table_{sh}x{ssb}B_best", qps=sbatch / st)
         del sserver, sdb
 
     db = build_db(height, slot_bytes)
@@ -300,10 +311,11 @@ def worker():
         q.new_index_query_shares(md, 7, 1, 2, fast=fast)
     log(f"client keygen: {(time.perf_counter()-t0)/8*1e3:.2f} ms/query")
     if fast:
+        kn = min(256, height)
         t0 = time.perf_counter()
-        q.new_fast_index_query_shares_batch(md, list(range(256)), 1)
-        log(f"client keygen (batched x256): "
-            f"{(time.perf_counter()-t0)/256*1e3:.3f} ms/query")
+        q.new_fast_index_query_shares_batch(md, list(range(kn)), 1)
+        log(f"client keygen (batched x{kn}): "
+            f"{(time.perf_counter()-t0)/kn*1e3:.3f} ms/query")
 
     # the single-query fallback path is a separate jit shape: a cache miss
     # costs ~500 s of remote compile, so only attempt it with real headroom

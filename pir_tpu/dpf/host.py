@@ -193,11 +193,11 @@ def generate_two_server_batch(
         t_curr1 = ((np.take_along_axis(out1, keep + 16, 1)[:, 0] & 1)
                    ^ (t_cw_keep * t_curr1))
 
+    s_finals0 = go_varint_vec(s_curr0[:, :8]) if q else []
+    s_finals1 = go_varint_vec(s_curr1[:, :8]) if q else []
     out = []
     for j in range(q):
-        s_final0, _ = go_varint(s_curr0[j, :8].tobytes())
-        s_final1, _ = go_varint(s_curr1[j, :8].tobytes())
-        final_cw = b - s_final0 + s_final1
+        final_cw = b - int(s_finals0[j]) + int(s_finals1[j])
         if t_curr1[j] == 1:
             final_cw = -final_cw
         cws = [cw[j, i].tobytes() for i in range(nb)]

@@ -124,8 +124,8 @@ def scan_tile_sizes(q: int, rows: int, b: int,
         max_br, max_bc = min(max_br, 512), min(max_bc, 128)
     elif q > 512:
         max_br, max_bc = min(max_br, 1024), min(max_bc, 256)
-    br = next(x for x in (max_br, 2048, 1024, 512, 256, 128, rows)
-              if x <= max_br and rows % x == 0)
+    br = next((x for x in (max_br, 2048, 1024, 512, 256, 128)
+               if x <= max_br and rows % x == 0), rows)
     bc = max_bc if b % max_bc == 0 else b
     return br, bc
 
