@@ -94,14 +94,54 @@ def deserialize_fast_key(buf: memoryview):
     return FastKey2P(s_init, t_init, cw, fcw, depth, height), off
 
 
+# ---- KeyMP ----
+
+def serialize_key_mp(key) -> bytes:
+    """num_parties, p2 correction words of mu uint32s, n_gamma sigma rows."""
+    import numpy as np
+
+    p2, mu = len(key.cw), (len(key.cw[0]) if key.cw else 0)
+    parts = [struct.pack("<BHIH", key.num_parties, p2, mu, len(key.sigma))]
+    parts += [np.asarray(c, dtype="<u4").tobytes() for c in key.cw]
+    if key.sigma:
+        row_len = len(key.sigma[0])
+        parts.append(struct.pack("<I", row_len))
+        parts += [bytes(s) for s in key.sigma]
+    else:
+        parts.append(struct.pack("<I", 0))
+    return b"".join(parts)
+
+
+def deserialize_key_mp(buf: memoryview):
+    import numpy as np
+
+    from .dpf.host import KeyMP
+
+    num_parties, p2, mu, n_gamma = struct.unpack_from("<BHIH", buf, 0)
+    off = 9
+    cw = []
+    for _ in range(p2):
+        cw.append(np.frombuffer(buf[off:off + mu * 4], dtype="<u4").copy())
+        off += mu * 4
+    (row_len,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    sigma = []
+    for _ in range(n_gamma):
+        sigma.append(bytes(buf[off:off + row_len]))
+        off += row_len
+    return KeyMP(num_parties, cw, sigma), off
+
+
 # ---- QueryShare ----
 
 def serialize_query_share(qs: QueryShare) -> bytes:
-    if not qs.is_two_party:
-        raise NotImplementedError("multi-party share serialization TBD")
-    flags = (1 if qs.is_keyword_based else 0) | 2  # bit1: two-party
+    flags = (1 if qs.is_keyword_based else 0)
+    if qs.is_two_party:
+        flags |= 2
     if qs.key_fast is not None:
         flags |= 4  # bit2: early-termination (fast) key
+    if qs.key_multi_party is not None:
+        flags |= 8  # bit3: multi-party (>=3 server) key
     head = _header(MSG_QUERY_SHARE) + struct.pack(
         "<BBI", flags, qs.share_number, qs.group_size
     )
@@ -109,6 +149,8 @@ def serialize_query_share(qs: QueryShare) -> bytes:
     assert len(prf) == 64
     if qs.key_fast is not None:
         return head + prf + serialize_fast_key(qs.key_fast)
+    if qs.key_multi_party is not None:
+        return head + prf + serialize_key_mp(qs.key_multi_party)
     return head + prf + serialize_key2p(qs.key_two_party)
 
 
@@ -118,17 +160,19 @@ def deserialize_query_share(data: bytes) -> QueryShare:
     off = 6
     prf_keys = [PrfKey(bytes(buf[off + 16 * i:off + 16 * (i + 1)])) for i in range(4)]
     off += 64
-    key2p, key_fast = None, None
+    key2p, key_fast, key_mp = None, None, None
     if flags & 4:
         key_fast, _ = deserialize_fast_key(buf[off:])
+    elif flags & 8:
+        key_mp, _ = deserialize_key_mp(buf[off:])
     else:
         key2p, _ = deserialize_key2p(buf[off:])
     return QueryShare(
         key_two_party=key2p,
-        key_multi_party=None,
+        key_multi_party=key_mp,
         prf_keys=prf_keys,
         is_keyword_based=bool(flags & 1),
-        is_two_party=True,
+        is_two_party=bool(flags & 2),
         share_number=share_number,
         group_size=group_size,
         key_fast=key_fast,
