@@ -117,7 +117,10 @@ class NativePirServer:
 
         h = self.db.db_size // query.group_size
         if not query.is_two_party:
-            raise NotImplementedError("multi-party keygen is a reference stub")
+            # multi-party expansion has no C++ path yet; the vectorised
+            # host eval (AES-NI via OpenSSL, one dispatch per batch of
+            # unique rows) answers it with identical semantics
+            return expand_shared_query(self.db, query)
         if query.key_fast is not None:
             return native.expand_fast_bits(query)
         if query.is_keyword_based:

@@ -96,3 +96,21 @@ def test_eval_points_mp_matches_single_point_eval():
                 for x in range(512)
             ])
             assert (vec == loop).all(), parties
+
+
+def test_multiparty_native_engine_fallback():
+    """NativePirServer answers >=3-party queries via the host expansion."""
+    import random
+
+    from pir_tpu import query as q
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.server import NativePirServer
+
+    rng = random.Random(51)
+    db = generate_random_db(1 << 8, 8)
+    servers = [NativePirServer(db) for _ in range(3)]
+    idx = rng.randrange(db.db_size)
+    shares = q.new_index_query_shares(db.metadata(), idx, 1, 3)
+    res = q.recover([s.private_secret_shared_query(sh)
+                     for s, sh in zip(servers, shares)])
+    assert bytes(res[0].data) == db.data[idx].tobytes()
