@@ -26,7 +26,9 @@ from .query import (
     QueryShare,
     SecretSharedQueryResult,
     new_index_query_shares,
+    new_index_query_shares_batch,
     new_keyword_query_shares,
+    new_keyword_query_shares_batch,
     recover,
 )
 from .slot import (
@@ -55,7 +57,9 @@ __all__ = [
     "new_database",
     "new_empty_slot",
     "new_index_query_shares",
+    "new_index_query_shares_batch",
     "new_keyword_query_shares",
+    "new_keyword_query_shares_batch",
     "new_random_slot",
     "new_slot",
     "new_slot_from_string",
