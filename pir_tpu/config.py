@@ -90,7 +90,12 @@ def stabilize_pallas_cache_keys() -> None:
 
         _orig = tcc._lower_mosaic_module_to_asm
 
-        def _stable_lower(module, *, ir_version=None):
+        def _stable_lower(module, *args, **kwargs):
+            # Signature-agnostic passthrough: only the module operand is
+            # needed for the strip; forwarding the rest verbatim means a
+            # JAX upgrade that changes _lower_mosaic_module_to_asm's
+            # private signature degrades to unstabilized keys instead of
+            # raising TypeError on every Pallas lowering.
             try:
                 with module.context:
                     _pm.PassManager.parse(
@@ -98,7 +103,7 @@ def stabilize_pallas_cache_keys() -> None:
                     ).run(module.operation)
             except Exception:
                 pass  # diagnostics-only loss; fall through to serialize
-            return _orig(module, ir_version=ir_version)
+            return _orig(module, *args, **kwargs)
 
         tcc._lower_mosaic_module_to_asm = _stable_lower
         _pallas_keys_stabilized = True

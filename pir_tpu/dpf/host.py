@@ -12,8 +12,11 @@ Semantics are replicated bit-for-bit from the reference Go package
   is the host golden model for the TPU expansion kernel (the reference
   instead re-walks the tree per row: db.go:128-171, O(N log N) AES calls).
 * ``evaluate_mp``          — dpf/server.go:110-144 (multi-party XOR-
-  homomorphic eval). Multi-party *keygen* intentionally raises
-  NotImplementedError, matching the reference stub (dpf/client.go:152-156).
+  homomorphic eval). Multi-party *keygen* (``generate_multi_server``) is
+  COMPLETED here: the reference's is a panic stub (dpf/client.go:152-156),
+  so this implements the sqrt-grid construction its eval implies, with a
+  documented 1-privacy PRG-extension divergence (see the function's
+  docstring and server.py's XOR parity convention note).
 """
 
 from __future__ import annotations

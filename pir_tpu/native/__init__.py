@@ -63,6 +63,10 @@ def load():
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
         ctypes.c_void_p,
     ]
+    lib.pir_scan_xor_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -250,5 +254,23 @@ def scan_xor(db_rows: np.ndarray, bits: np.ndarray) -> np.ndarray:
         db_rows.ctypes.data_as(ctypes.c_void_p), db_rows.shape[0],
         db_rows.shape[1], bits.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
+def scan_xor_batch(db_rows: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """db_rows (H, row_bytes) u8, bits (Q, H) u8 -> (Q, row_bytes) u8.
+
+    One cache-blocked pass over the table answers all Q queries (the
+    reference scans per query, db.go:74-107; see pir_scan_xor_batch)."""
+    lib = load()
+    db_rows = np.ascontiguousarray(db_rows)
+    bits = np.ascontiguousarray(bits, dtype=np.uint8)
+    assert bits.shape[1] == db_rows.shape[0]
+    out = np.empty((bits.shape[0], db_rows.shape[1]), dtype=np.uint8)
+    lib.pir_scan_xor_batch(
+        db_rows.ctypes.data_as(ctypes.c_void_p), db_rows.shape[0],
+        db_rows.shape[1], bits.ctypes.data_as(ctypes.c_void_p),
+        bits.shape[0], out.ctypes.data_as(ctypes.c_void_p),
     )
     return out

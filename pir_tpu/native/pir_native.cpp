@@ -289,4 +289,43 @@ void pir_scan_xor(const uint8_t* db, uint64_t height, uint64_t row_bytes,
   memcpy(out, acc, words * 8);
 }
 
+// Batched scan: one streaming pass over the DB answers Q queries at once.
+// Each server-side bit vector is pseudorandom (~height/2 ones), so the
+// per-query scan touches ~half the table; answering queries one by one
+// streams the table from DRAM Q times. Blocking rows so a block fits in
+// LLC lets all Q queries consume it before eviction: DRAM traffic drops
+// from ~Q*height*row_bytes/2 to ~height*row_bytes. bits is (Q, height)
+// row-major; out is (Q, row_bytes).
+void pir_scan_xor_batch(const uint8_t* db, uint64_t height, uint64_t row_bytes,
+                        const uint8_t* bits, uint64_t num_q, uint8_t* out) {
+  memset(out, 0, num_q * row_bytes);
+  uint64_t words = row_bytes / 8;
+  uint64_t tail = row_bytes - words * 8;
+  // block sized to ~2 MiB of table so it stays cache-resident across the
+  // per-query inner passes
+  uint64_t block = row_bytes ? ((2ull << 20) / row_bytes) : height;
+  if (block < 64) block = 64;
+  std::vector<uint64_t> acc(words);
+  for (uint64_t r0 = 0; r0 < height; r0 += block) {
+    uint64_t rn = height - r0 < block ? height - r0 : block;
+    for (uint64_t q = 0; q < num_q; q++) {
+      const uint8_t* b = bits + q * height + r0;
+      uint8_t* o = out + q * row_bytes;
+      memcpy(acc.data(), o, words * 8);
+      for (uint64_t r = 0; r < rn; r++) {
+        if (!b[r]) continue;
+        const uint8_t* row = db + (r0 + r) * row_bytes;
+        uint64_t w;
+        for (uint64_t i = 0; i < words; i++) {
+          memcpy(&w, row + 8 * i, 8);
+          acc[i] ^= w;
+        }
+        for (uint64_t i = 0; i < tail; i++)
+          o[words * 8 + i] ^= row[words * 8 + i];
+      }
+      memcpy(o, acc.data(), words * 8);
+    }
+  }
+}
+
 }  // extern "C"

@@ -145,6 +145,34 @@ class NativePirServer:
         bits = self.expand_shared_query(query)
         return self.private_secret_shared_query_with_expanded_bits(query, bits)
 
+    def private_secret_shared_query_batch(
+        self, queries: list[QueryShare]
+    ) -> list[SecretSharedQueryResult]:
+        """Answer a uniform batch with ONE cache-blocked pass over the
+        table (native.scan_xor_batch) instead of Q streaming scans."""
+        from . import native
+
+        if not queries:
+            return []
+        g = queries[0].group_size
+        if any(q.group_size != g for q in queries):
+            return [self.private_secret_shared_query(q) for q in queries]
+        h = self.db.db_size // g
+        bits = np.stack([
+            np.ascontiguousarray(self.expand_shared_query(q), dtype=np.uint8)
+            for q in queries
+        ])
+        rows = self.db.data[: h * g].reshape(h, g * self.db.slot_bytes)
+        out = native.scan_xor_batch(rows, bits)
+        sb = self.db.slot_bytes
+        return [
+            SecretSharedQueryResult(
+                sb, [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                     for c in range(g)]
+            )
+            for i in range(len(queries))
+        ]
+
 
 class TpuPirServer:
     """Device-resident PIR server: DB uploaded once, queries answered on TPU.
@@ -161,7 +189,8 @@ class TpuPirServer:
                  pallas_tail_levels: int = 2,
                  compat_pallas_w: int = 128,
                  compat_pallas_max_tail: int = 3,
-                 compat_pallas_q_chunk: int = 16):
+                 compat_pallas_q_chunk: int = 16,
+                 compat_pallas_batch_cap: int = 1024):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
@@ -180,6 +209,10 @@ class TpuPirServer:
         self.compat_pallas_w = compat_pallas_w
         self.compat_pallas_max_tail = compat_pallas_max_tail
         self.compat_pallas_q_chunk = compat_pallas_q_chunk
+        # batches dispatch in slices padded to power-of-two multiples of
+        # q_chunk, capped here, so the set of compiled shapes is bounded
+        # (remote compiles cost minutes; see CLAUDE.md)
+        self.compat_pallas_batch_cap = compat_pallas_batch_cap
         # planes tables are 8x the packed table; the budget must leave
         # HBM headroom for XLA operand repacks (observed ~2x transient on
         # the int8 matmul operand), hence the conservative default.
@@ -610,9 +643,12 @@ class TpuPirServer:
 
     def _dispatch_compat_pallas(self, queries: list[QueryShare]):
         """Dispatch a uniform compat batch through the cascaded Pallas
-        expansion + fused scan; returns the (Q_pad, row_bytes) uint8
-        device array (async — not yet fetched). Q is padded to a multiple
-        of the lax.map query-chunk size to keep one compiled shape."""
+        expansion + fused scan; returns a list of (device_array, take)
+        slices (async — not yet fetched; assemble with
+        ``_assemble_chunked``). Each slice is padded to a power-of-two
+        multiple of the lax.map query-chunk size and capped at
+        ``compat_pallas_batch_cap``, so the set of compiled shapes is
+        bounded at log2(cap/q_chunk)+1 regardless of batch size."""
         import jax
 
         from .dpf.device import compat_stage_plan, make_compat_payload_batch
@@ -625,15 +661,32 @@ class TpuPirServer:
         _, tails = compat_stage_plan(nbd, w, mt)
         table = self._compat_root_table_u8(g, nbd, w, tails)
         qc = self.compat_pallas_q_chunk
-        part = queries
-        if len(part) > qc and len(part) % qc:
-            part = part + part[: qc - (len(part) % qc)]
-        pay, lo = make_compat_payload_batch(part, height=h)
+        cap = max(self.compat_pallas_batch_cap, qc)
         on_tpu = jax.default_backend() == "tpu"
-        fn = fused_compat_root_batch_pallas_fn(
-            lo, w=w, max_tail=mt, q_chunk=qc, interpret=not on_tpu
-        )
-        return fn(table, pay)
+        outs = []
+        i = 0
+        while i < len(queries):
+            part = queries[i:i + cap]
+            take = len(part)
+            target = qc
+            while target < take:
+                target *= 2
+            if len(part) < target:  # pad by repeating (results sliced off)
+                reps = -(-target // len(part))
+                part = (part * reps)[:target]
+            pay, lo = make_compat_payload_batch(part, height=h)
+            fn = fused_compat_root_batch_pallas_fn(
+                lo, w=w, max_tail=mt, q_chunk=qc, interpret=not on_tpu
+            )
+            outs.append((fn(table, pay), take))
+            i += take
+        return outs
+
+    def _assemble_chunked(self, outs, group_size: int, n: int):
+        """Fetch + concatenate (device_array, take) slices -> results."""
+        parts = [np.asarray(dev)[:take] for dev, take in outs]
+        out = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        return self._slice_batch_results(out, group_size, n)
 
     def _dispatch_fast_root(self, queries: list[QueryShare]):
         """Dispatch a uniform fast-mode batch through a root-start path;
@@ -682,9 +735,9 @@ class TpuPirServer:
             g, n = queries[0].group_size, len(queries)
             return lambda: self._slice_batch_results(np.asarray(out_dev), g, n)
         if self._compat_pallas_applicable(queries):
-            out_dev = self._dispatch_compat_pallas(queries)
+            outs = self._dispatch_compat_pallas(queries)
             g, n = queries[0].group_size, len(queries)
-            return lambda: self._slice_batch_results(np.asarray(out_dev), g, n)
+            return lambda: self._assemble_chunked(outs, g, n)
         res = self.private_secret_shared_query_batch(queries)
         return lambda: res
 
@@ -719,8 +772,8 @@ class TpuPirServer:
             return self._slice_batch_results(out, g, len(queries))
         if (not fast) and len(queries) >= self.mxu_batch_threshold:
             if self._compat_pallas_applicable(queries):
-                out = np.asarray(self._dispatch_compat_pallas(queries))
-                return self._slice_batch_results(out, g, len(queries))
+                outs = self._dispatch_compat_pallas(queries)
+                return self._assemble_chunked(outs, g, len(queries))
             nbd = self._compat_device_bits(g)
             if nbd >= 5:
                 planes = self._compat_root_plane_table(g, nbd)

@@ -145,10 +145,30 @@ class PirService:
 
         return srv.private_secret_shared_query(self.db, share)
 
-    def _answer_batch(self, shares: list[QueryShare]) -> list[SecretSharedQueryResult]:
-        from .server import TpuPirServer
+    @staticmethod
+    def _batch_uniform(shares: list[QueryShare]) -> bool:
+        """Engine batch paths require uniform 2-party shares of one kind;
+        anything else (multi-party, mixed modes/group sizes) answers
+        per-share so OP_QUERY_BATCH accepts everything OP_QUERY does."""
+        s0 = shares[0]
+        return all(
+            s.is_two_party
+            and s.group_size == s0.group_size
+            and s.is_keyword_based == s0.is_keyword_based
+            and (s.key_fast is not None) == (s0.key_fast is not None)
+            for s in shares
+        )
 
+    def _answer_batch(self, shares: list[QueryShare]) -> list[SecretSharedQueryResult]:
+        from .server import NativePirServer, TpuPirServer
+
+        if not shares:
+            return []
+        if not self._batch_uniform(shares):
+            return [self._answer(s) for s in shares]
         if isinstance(self._engine, TpuPirServer):
+            return self._engine.private_secret_shared_query_batch(shares)
+        if isinstance(self._engine, NativePirServer):
             return self._engine.private_secret_shared_query_batch(shares)
         return [self._answer(s) for s in shares]
 

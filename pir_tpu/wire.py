@@ -100,8 +100,12 @@ def serialize_key_mp(key) -> bytes:
     """num_parties, p2 correction words of mu uint32s, n_gamma sigma rows."""
     import numpy as np
 
+    # p2 = 2^(num_parties-1) and n_gamma = 2^ceil(num_bits/2) both exceed
+    # uint16 in real configurations (keyword MP keys have num_bits=32 so
+    # n_gamma = 2^16; num_parties >= 17 overflows p2), so all three counts
+    # are u32.
     p2, mu = len(key.cw), (len(key.cw[0]) if key.cw else 0)
-    parts = [struct.pack("<BHIH", key.num_parties, p2, mu, len(key.sigma))]
+    parts = [struct.pack("<BIII", key.num_parties, p2, mu, len(key.sigma))]
     parts += [np.asarray(c, dtype="<u4").tobytes() for c in key.cw]
     if key.sigma:
         row_len = len(key.sigma[0])
@@ -117,8 +121,8 @@ def deserialize_key_mp(buf: memoryview):
 
     from .dpf.host import KeyMP
 
-    num_parties, p2, mu, n_gamma = struct.unpack_from("<BHIH", buf, 0)
-    off = 9
+    num_parties, p2, mu, n_gamma = struct.unpack_from("<BIII", buf, 0)
+    off = 13
     cw = []
     for _ in range(p2):
         cw.append(np.frombuffer(buf[off:off + mu * 4], dtype="<u4").copy())

@@ -69,3 +69,30 @@ def test_native_fast_expand_matches_host():
             share.prf_keys = client.prf_keys
             got = nat.expand_shared_query(share)
             assert (got.astype(bool) == want).all(), (height, snum)
+
+
+def test_native_scan_xor_batch_matches_single():
+    rng = np.random.default_rng(3)
+    for h, row_bytes, nq in ((257, 24, 5), (1 << 12, 96, 17), (500, 7, 3)):
+        rows = rng.integers(0, 256, size=(h, row_bytes), dtype=np.uint8)
+        bits = rng.integers(0, 2, size=(nq, h), dtype=np.uint8)
+        batch = native.scan_xor_batch(rows, bits)
+        for i in range(nq):
+            single = native.scan_xor(rows, bits[i])
+            assert (batch[i] == single).all(), (h, row_bytes, i)
+
+
+def test_native_batch_query_roundtrip():
+    rng = random.Random(5)
+    db = generate_random_db(1 << 10, 16)
+    server = NativePirServer(db)
+    idxs = [rng.randrange(db.db_size) for _ in range(9)]
+    share_lists = [
+        q.new_index_query_shares(db.metadata(), i, 1, 2, fast=(i % 2 == 0))
+        for i in idxs
+    ]
+    per_server = [[sl[k] for sl in share_lists] for k in range(2)]
+    answers = [server.private_secret_shared_query_batch(p) for p in per_server]
+    for i, idx in enumerate(idxs):
+        res = q.recover([answers[0][i], answers[1][i]])
+        assert db.slot(idx).equal(res[0]), idx

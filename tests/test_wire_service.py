@@ -189,3 +189,72 @@ def test_key_mp_wire_roundtrip():
         for a, b in zip(back.cw, k.cw):
             assert (a == b).all()
         assert back.sigma == k.sigma
+
+
+def test_key_mp_wire_roundtrip_32bit_domain():
+    """Keyword-domain MP keys have num_bits=32 -> n_gamma = 2^16 sigma
+    rows; this overflowed the old uint16 count field (ADVICE r2)."""
+    from pir_tpu import wire
+    from pir_tpu.dpf import host as dpf
+
+    client = dpf.client_initialize(32)
+    keys = dpf.generate_multi_server(client, 0xDEADBEEF, 1, 3)
+    k = keys[1]
+    assert len(k.sigma) == 1 << 16
+    blob = wire.serialize_key_mp(k)
+    back, used = wire.deserialize_key_mp(memoryview(blob))
+    assert used == len(blob)
+    assert back.num_parties == k.num_parties
+    for a, b in zip(back.cw, k.cw):
+        assert (a == b).all()
+    assert back.sigma == k.sigma
+
+
+def test_batch_mixed_shares_falls_back_per_share():
+    """OP_QUERY_BATCH must accept everything OP_QUERY does: multi-party
+    and mixed-mode batches answer per-share instead of erroring
+    (ADVICE r2: engine batch validation must not propagate)."""
+    import random
+    import struct
+
+    from pir_tpu import wire
+    from pir_tpu.query import new_index_query_shares, recover
+    from pir_tpu.service import (
+        OP_QUERY_BATCH, PirService, _recv_frame, _send_frame,
+    )
+    import socket
+
+    rng = random.Random(7)
+    db = generate_random_db(1 << 8, 8)
+    services = [PirService(db).start() for _ in range(3)]
+    try:
+        idxs = [rng.randrange(db.db_size) for _ in range(3)]
+        share_lists = [
+            new_index_query_shares(db.metadata(), i, 1, 3, fast=False)
+            for i in idxs
+        ]
+        answers = []
+        for k, svc in enumerate(services):
+            sock = socket.create_connection(svc.address)
+            blobs = [wire.serialize_query_share(sl[k]) for sl in share_lists]
+            payload = struct.pack("<I", len(blobs)) + b"".join(
+                struct.pack("<I", len(b)) + b for b in blobs
+            )
+            _send_frame(sock, OP_QUERY_BATCH, payload)
+            op, resp = _recv_frame(sock)
+            assert op == OP_QUERY_BATCH, resp.decode()
+            (count,) = struct.unpack_from("<I", resp, 0)
+            off, results = 4, []
+            for _ in range(count):
+                (ln,) = struct.unpack_from("<I", resp, off)
+                off += 4
+                results.append(wire.deserialize_shared_result(resp[off:off + ln]))
+                off += ln
+            answers.append(results)
+            sock.close()
+        for i, idx in enumerate(idxs):
+            res = recover([answers[k][i] for k in range(3)])
+            assert bytes(res[0].data) == db.data[idx].tobytes(), idx
+    finally:
+        for s in services:
+            s.close()
