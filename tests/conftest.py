@@ -18,3 +18,22 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "long: reference-scale property runs (dpf_test.go's 1000 trials); "
+        "skipped unless PIR_LONG_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("PIR_LONG_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="long property run; set PIR_LONG_TESTS=1")
+    for item in items:
+        if "long" in item.keywords:
+            item.add_marker(skip)

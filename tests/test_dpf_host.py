@@ -26,10 +26,10 @@ def test_go_varint_vectorised_matches_scalar():
         assert vec[i] == want, (i, bytes(buf[i]))
 
 
-def test_correct_two_server():
+def _run_two_server_trials(n_trials, seed=1234):
     """dpf/dpf_test.go:11-39: shares sum to b at the point, 0 elsewhere."""
-    rng = random.Random(1234)
-    for _ in range(NUM_TRIALS):
+    rng = random.Random(seed)
+    for _ in range(n_trials):
         num = rng.randrange(1 << 10) + 100
         special = rng.randrange(num)
         value = rng.randrange(num)
@@ -53,10 +53,20 @@ def test_correct_two_server():
         assert (total[:num][mask] == 0).all()
 
 
-def test_correct_point_function_two_server():
+def test_correct_two_server():
+    _run_two_server_trials(NUM_TRIALS)
+
+
+@pytest.mark.long
+def test_correct_two_server_long():
+    """Reference trial count (numTrials = 1000, dpf/dpf_test.go:9)."""
+    _run_two_server_trials(1000)
+
+
+def _run_point_function_trials(n_trials, seed=99):
     """dpf/dpf_test.go:41-73: parity shares XOR to 1 only at the point."""
-    rng = random.Random(99)
-    for _ in range(NUM_TRIALS):
+    rng = random.Random(seed)
+    for _ in range(n_trials):
         num = rng.randrange(1 << 10) + 100
         special = rng.randrange(num)
 
@@ -71,10 +81,19 @@ def test_correct_point_function_two_server():
         assert sel.sum() == 1
 
 
-def test_correct_two_server_keyword():
+def test_correct_point_function_two_server():
+    _run_point_function_trials(NUM_TRIALS)
+
+
+@pytest.mark.long
+def test_correct_point_function_two_server_long():
+    _run_point_function_trials(1000)
+
+
+def _run_keyword_trials(n_trials, seed=7):
     """dpf/dpf_test.go:75-107: 64-bit domain point function."""
-    rng = random.Random(7)
-    for _ in range(6):
+    rng = random.Random(seed)
+    for _ in range(n_trials):
         num = rng.randrange(1 << 62)
         keyword = rng.randrange(num)
         value = rng.randrange(1 << 32)
@@ -91,6 +110,15 @@ def test_correct_two_server_keyword():
                 assert ans0 + ans1 == value
             else:
                 assert ans0 + ans1 == 0
+
+
+def test_correct_two_server_keyword():
+    _run_keyword_trials(6)
+
+
+@pytest.mark.long
+def test_correct_two_server_keyword_long():
+    _run_keyword_trials(1000)
 
 
 def test_multi_server_keygen_rejects_two_parties():
