@@ -94,11 +94,15 @@ def generate_audit_for_shared_query(
 def generate_audit_for_shared_query_with_expanded_bits(
     key_db: Database, query: AuthenticatedQueryShare, bits: np.ndarray
 ) -> AuditTokenShare:
-    """aspir.go:266-279: audit = keyDB answer share XOR auth token share."""
+    """aspir.go:266-279: audit = keyDB answer share XOR auth token share.
+
+    Group size is forced to 1 for the key-DB answer as well as the
+    expansion (the reference mutates query.GroupSize before both steps,
+    aspir.go:251-254): the key DB holds ONE auth key per group."""
     from . import server as srv
 
     res = srv.private_secret_shared_query_with_expanded_bits(
-        key_db, query.query_share, bits
+        key_db, replace(query.query_share, group_size=1), bits
     )
     if len(res.shares) != 1:
         raise ValueError("Invalid challenge ciphertext result")

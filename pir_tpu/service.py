@@ -44,6 +44,12 @@ OP_ENCRYPTED_QUERY = 4
 OP_ENCRYPTED_QUERY_REC = 5
 OP_SQRTST_META = 6
 OP_METRICS = 7
+# ASPIR (authenticated PIR, aspir.go; wire formats in wire.py)
+OP_ASPIR_CHAL = 8
+OP_ASPIR_PROOF = 9
+OP_ASPIR_SHARED_QUERY = 10
+OP_ASPIR_AUDIT_SUBMIT = 11
+OP_ASPIR_AUDIT = 12
 OP_ERROR = 255
 
 
@@ -79,13 +85,28 @@ class PirService:
 
     def __init__(self, db: Database | None = None, host: str = "127.0.0.1",
                  port: int = 0, use_tpu: bool = False,
-                 config: PirConfig | None = None, sqrt_st=None):
+                 config: PirConfig | None = None, sqrt_st=None,
+                 key_db: Database | None = None,
+                 audit_leader: tuple[str, int] | None = None,
+                 audit_timeout: float = 30.0):
         if db is None:
             if sqrt_st is None:
                 raise ValueError("need a Database or a PrivateSqrtST")
             db = sqrt_st.second_layer
         self.db = db
         self.sqrt_st = sqrt_st
+        # ASPIR: parallel database of per-item auth keys (aspir.go:62-108,
+        # 245-279). For the shared variant's audit exchange, one service
+        # acts as audit leader (audit_leader=None); the others push their
+        # audit shares to it and release data only on a pass verdict.
+        self.key_db = key_db
+        self.audit_leader = audit_leader
+        self.audit_timeout = audit_timeout
+        self._chal_lock = threading.Lock()
+        self._chal_store: dict[int, tuple] = {}  # chal_id -> (auth_query, chal)
+        self._chal_next = 1
+        self._audit_cond = threading.Condition()
+        self._audit_book: dict[int, dict] = {}  # nonce -> {shares, expected, verdict}
         # with no explicit config the service answers on the host engine;
         # engine="auto" (or use_tpu) opts into accelerator dispatch
         self.config = (config or PirConfig(engine="host")).validate()
@@ -178,7 +199,88 @@ class PirService:
             flags |= wire.META_HAS_KEYWORDS
         if self.sqrt_st is not None:
             flags |= wire.META_HAS_SQRT_ST
+        if self.key_db is not None:
+            flags |= wire.META_HAS_KEY_DB
         return flags
+
+    # ---- ASPIR (authenticated PIR) ----
+
+    def _require_key_db(self) -> Database:
+        if self.key_db is None:
+            raise ValueError("this service hosts no auth-key database")
+        return self.key_db
+
+    def _aspir_shared_answer(self, share):
+        """Answer + audit share with ONE expansion: the audit reuses the
+        data query's expanded bits (aspir.go:259-265 — the key insight
+        that makes the shared audit nearly free)."""
+        from .aspir_shared import (
+            generate_audit_for_shared_query_with_expanded_bits,
+        )
+
+        qs = share.query_share
+        if self._engine is not None:
+            bits = self._engine.expand_shared_query(qs)
+            res = self._engine.private_secret_shared_query_with_expanded_bits(
+                qs, bits
+            )
+            bits_np = np.asarray(bits).astype(bool)
+        else:
+            from . import server as srv
+
+            bits_np = srv.expand_shared_query(self.db, qs)
+            res = srv.private_secret_shared_query_with_expanded_bits(
+                self.db, qs, bits_np
+            )
+        audit = generate_audit_for_shared_query_with_expanded_bits(
+            self._require_key_db(), share, bits_np
+        )
+        return res, audit
+
+    def _audit_verdict(self, nonce: int, expected: int, share_bytes: bytes) -> int:
+        """Audit-leader rendezvous: collect `expected` audit shares for
+        `nonce`; verdict = 1 iff they XOR to zero (aspir.go:281-295).
+        Every submitting party blocks until the verdict is known."""
+        import time
+
+        deadline = time.monotonic() + self.audit_timeout
+        with self._audit_cond:
+            book = self._audit_book.setdefault(
+                nonce, {"shares": [], "verdict": None, "readers": 0}
+            )
+            book["shares"].append(share_bytes)
+            if len(book["shares"]) == expected:
+                acc = bytearray(len(share_bytes))
+                ok = all(len(s) == len(acc) for s in book["shares"])
+                for s in book["shares"]:
+                    for i, b in enumerate(s):
+                        acc[i] ^= b
+                book["verdict"] = 1 if (ok and not any(acc)) else 0
+                self._audit_cond.notify_all()
+            while book["verdict"] is None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    self._audit_book.pop(nonce, None)
+                    raise TimeoutError(
+                        "audit incomplete: not all servers submitted shares"
+                    )
+                self._audit_cond.wait(remaining)
+            verdict = book["verdict"]
+            book["readers"] += 1
+            if book["readers"] >= expected:
+                self._audit_book.pop(nonce, None)
+        return verdict
+
+    def _submit_audit_to_leader(self, nonce: int, expected: int, audit) -> int:
+        payload = (struct.pack("<QB", nonce, expected)
+                   + wire.serialize_audit_share(audit))
+        with socket.create_connection(self.audit_leader,
+                                      timeout=self.audit_timeout) as sock:
+            _send_frame(sock, OP_ASPIR_AUDIT_SUBMIT, payload)
+            op, resp = _recv_frame(sock)
+        if op == OP_ERROR:
+            raise RuntimeError(f"audit leader error: {resp.decode()}")
+        return resp[0]
 
     def _dispatch(self, opcode: int, payload: bytes) -> tuple[int, bytes]:
         scan = self.db.db_size * self.db.slot_bytes
@@ -222,6 +324,82 @@ class PirService:
             with self.metrics.timed_query(scan):
                 res = private_doubly_encrypted_query(self.db, q)
             return OP_ENCRYPTED_QUERY_REC, wire.serialize_doubly_encrypted_result(res)
+        if opcode == OP_ASPIR_CHAL:
+            # u32 secparam ‖ AuthenticatedEncryptedQuery. The challenge
+            # and query are retained server-side under chal_id so the
+            # proof is checked against OUR challenge, not one the client
+            # claims (aspir.go:62-108 keeps this state in-process).
+            from .aspir import generate_auth_chal_for_query
+
+            (secparam,) = struct.unpack_from("<I", payload, 0)
+            q = wire.deserialize_auth_query(payload[4:])
+            chal = generate_auth_chal_for_query(
+                secparam, self._require_key_db(), q
+            )
+            with self._chal_lock:
+                chal_id = self._chal_next
+                self._chal_next += 1
+                self._chal_store[chal_id] = (q, chal)
+                while len(self._chal_store) > 256:  # bound retained state
+                    self._chal_store.pop(next(iter(self._chal_store)))
+            return OP_ASPIR_CHAL, (struct.pack("<Q", chal_id)
+                                   + wire.serialize_chal_token(chal))
+        if opcode == OP_ASPIR_PROOF:
+            # u64 chal_id ‖ ProofToken -> u8 pass ‖ data result. Only the
+            # PROVEN query side is answered: a client whose auth key is
+            # wrong can only prove the decoy (null) side and so retrieves
+            # the null answer — this is what makes the AHE flow sound.
+            from .aspir import auth_check
+            from .encrypted import private_doubly_encrypted_query
+
+            (chal_id,) = struct.unpack_from("<Q", payload, 0)
+            proof = wire.deserialize_proof_token(bytes(payload[8:]))
+            with self._chal_lock:
+                entry = self._chal_store.pop(chal_id, None)
+            if entry is None:
+                raise ValueError("unknown or expired challenge id")
+            q, chal = entry
+            pk = q.query0.row.pk
+            if not auth_check(pk, q, chal, proof):
+                return OP_ASPIR_PROOF, struct.pack("<B", 0)
+            dq = q.query0 if proof.q_bit == 0 else q.query1
+            with self.metrics.timed_query(scan):
+                res = private_doubly_encrypted_query(self.db, dq)
+            return OP_ASPIR_PROOF, (
+                struct.pack("<B", 1) + wire.serialize_doubly_encrypted_result(res)
+            )
+        if opcode == OP_ASPIR_AUDIT:
+            # library-parity endpoint: compute and return the audit share
+            # (the exchange is left to the deployment, matching the
+            # reference's in-process CheckAudit posture)
+            share = wire.deserialize_auth_share(payload)
+            _, audit = self._aspir_shared_answer(share)
+            return OP_ASPIR_AUDIT, wire.serialize_audit_share(audit)
+        if opcode == OP_ASPIR_AUDIT_SUBMIT:
+            nonce, expected = struct.unpack_from("<QB", payload, 0)
+            audit = wire.deserialize_audit_share(bytes(payload[9:]))
+            verdict = self._audit_verdict(nonce, expected, bytes(audit.t.data))
+            return OP_ASPIR_AUDIT_SUBMIT, struct.pack("<B", verdict)
+        if opcode == OP_ASPIR_SHARED_QUERY:
+            # u64 nonce ‖ u8 num_servers ‖ AuthenticatedQueryShare.
+            # The data answer is released ONLY after the servers'
+            # audit-share exchange (via the leader) passes; the client
+            # never relays audit shares, so it cannot forge the release.
+            nonce, expected = struct.unpack_from("<QB", payload, 0)
+            share = wire.deserialize_auth_share(bytes(payload[9:]))
+            with self.metrics.timed_query(scan):
+                res, audit = self._aspir_shared_answer(share)
+            if self.audit_leader is None:
+                verdict = self._audit_verdict(
+                    nonce, expected, bytes(audit.t.data)
+                )
+            else:
+                verdict = self._submit_audit_to_leader(nonce, expected, audit)
+            if not verdict:
+                raise PermissionError(
+                    "audit failed: auth key does not match the queried item"
+                )
+            return OP_ASPIR_SHARED_QUERY, wire.serialize_shared_result(res)
         if opcode == OP_SQRTST_META:
             if self.sqrt_st is None:
                 raise ValueError("this service hosts no sqrt search tree")
@@ -230,6 +408,23 @@ class PirService:
             summary = dict(self.metrics.summary(), engine=self.engine_name)
             return OP_METRICS, json.dumps(summary).encode()
         raise ValueError(f"unknown opcode {opcode}")
+
+
+class _AllLocks:
+    """Context manager acquiring a list of locks in fixed order."""
+
+    def __init__(self, locks):
+        self._locks = locks
+
+    def __enter__(self):
+        for lk in self._locks:
+            lk.acquire()
+        return self
+
+    def __exit__(self, *exc):
+        for lk in reversed(self._locks):
+            lk.release()
+        return False
 
 
 class PirClient:
@@ -244,12 +439,16 @@ class PirClient:
         for host, port in addresses:
             s = socket.create_connection((host, port))
             self._socks.append(s)
-        self._lock = threading.RLock()  # one in-flight request per client
+        # per-socket locks: independent single-server RPCs to different
+        # servers may overlap; fan-outs take every lock (in index order)
+        # so frames on one socket never interleave
+        self._sock_locks = [threading.Lock() for _ in self._socks]
+        self._lock = _AllLocks(self._sock_locks)
         self._sqrt_st = None
         self.metadata, self.db_flags = self._fetch_metadata()
 
     def _rpc(self, sock_idx: int, opcode: int, payload: bytes) -> bytes:
-        with self._lock:
+        with self._sock_locks[sock_idx]:
             sock = self._socks[sock_idx]
             _send_frame(sock, opcode, payload)
             op, resp = _recv_frame(sock)
@@ -388,6 +587,97 @@ class PirClient:
         probe = new_slot_from_string(key, len(slots[col].data))
         present = slots[col].equal(probe)
         return present, row * st.width + col, slots
+
+    # ---- ASPIR (authenticated PIR) ----
+
+    def query_index_authenticated(self, index: int, auth_key,
+                                  group_size: int = 1, fast: bool = False):
+        """Shared-variant authenticated retrieval (aspir.go:211-295) over
+        real sockets: every server computes an audit share from the SAME
+        expanded bits as the data answer and exchanges it with the audit
+        leader; data is released only if the shares XOR to zero. Raises
+        PermissionError when the auth key does not match the item."""
+        import secrets as _secrets
+
+        from .aspir_shared import new_authenticated_index_query_shares
+
+        if not (self.db_flags & wire.META_HAS_KEY_DB):
+            raise RuntimeError("services host no auth-key database")
+        shares = new_authenticated_index_query_shares(
+            self.metadata, index, auth_key, group_size, len(self._socks),
+            fast=fast,
+        )
+        nonce = _secrets.randbits(64)
+        n = len(self._socks)
+        resps = []
+        with self._lock:
+            for sock, share in zip(self._socks, shares):
+                payload = (struct.pack("<QB", nonce, n)
+                           + wire.serialize_auth_share(share))
+                _send_frame(sock, OP_ASPIR_SHARED_QUERY, payload)
+            for sock in self._socks:
+                resps.append(_recv_frame(sock))
+        errors = [p.decode() for op, p in resps if op == OP_ERROR]
+        if errors:
+            raise PermissionError(errors[0])
+        return recover([wire.deserialize_shared_result(p) for _, p in resps])
+
+    def fetch_audit_shares(self, index: int, auth_key, group_size: int = 1,
+                           fast: bool = False):
+        """Library-parity flow: fetch each server's AuditTokenShare for an
+        authenticated query (the caller runs check_audit; matches the
+        reference's in-process posture, aspir.go:245-295)."""
+        from .aspir_shared import new_authenticated_index_query_shares
+
+        shares = new_authenticated_index_query_shares(
+            self.metadata, index, auth_key, group_size, len(self._socks),
+            fast=fast,
+        )
+        return [
+            wire.deserialize_audit_share(
+                self._rpc(k, OP_ASPIR_AUDIT, wire.serialize_auth_share(s))
+            )
+            for k, s in enumerate(shares)
+        ]
+
+    def query_authenticated(self, index: int, sk, auth_key,
+                            group_size: int = 1, secparam: int = 8,
+                            server: int = 0):
+        """Single-server AHE authenticated retrieval (aspir.go:10-209,
+        4-message flow of SURVEY §3.4) against ONE service hosting both
+        the data DB and the auth-key DB. Returns the group's slots.
+
+        Raises PermissionError if authentication fails — including the
+        case where only the decoy side could be proven (wrong auth key:
+        the server then answers the null query, so there is nothing to
+        recover), and ValueError if the server itself cheats on the
+        challenge (both tokens non-zero, aspir.go:124-126)."""
+        from . import encrypted as enc
+        from .aspir import auth_prove, new_authenticated_query
+
+        if not (self.db_flags & wire.META_HAS_KEY_DB):
+            raise RuntimeError("service hosts no auth-key database")
+        q, state = new_authenticated_query(
+            self.metadata, sk, group_size, index, auth_key
+        )
+        resp = self._rpc(server, OP_ASPIR_CHAL,
+                         struct.pack("<I", secparam) + wire.serialize_auth_query(q))
+        (chal_id,) = struct.unpack_from("<Q", resp, 0)
+        chal = wire.deserialize_chal_token(resp[8:])
+        proof = auth_prove(state, chal)
+        resp = self._rpc(server, OP_ASPIR_PROOF,
+                         struct.pack("<Q", chal_id)
+                         + wire.serialize_proof_token(proof))
+        if resp[0] != 1:
+            raise PermissionError("server rejected the authentication proof")
+        if proof.q_bit != state.bit:
+            # only the decoy was provable => our auth key is wrong; the
+            # server answered the null query (sound by construction)
+            raise PermissionError(
+                "auth key does not match the queried item (decoy proven)"
+            )
+        res = wire.deserialize_doubly_encrypted_result(resp[1:], sk.public_key)
+        return enc.recover_doubly_encrypted(res, sk)
 
     # ---- single-server cPIR (Paillier) ----
 

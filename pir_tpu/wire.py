@@ -398,10 +398,175 @@ def deserialize_sqrt_st_meta(data: bytes):
     return st
 
 
+# ---- ASPIR (authenticated PIR, aspir.go) ----
+
+MSG_AUTH_QUERY = 9
+MSG_CHAL_TOKEN = 10
+MSG_PROOF_TOKEN = 11
+MSG_AUTH_SHARE = 12
+MSG_AUDIT_SHARE = 13
+
+
+def _commitment_out(comm) -> bytes:
+    return (struct.pack("<I", len(comm.hash_bytes)) + comm.hash_bytes
+            + _int_out(comm.r))
+
+
+def _commitment_in(buf: memoryview, off: int):
+    from .commitment import ROCommitment
+
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    hb = bytes(buf[off:off + n])
+    off += n
+    r, off = _int_in(buf, off)
+    return ROCommitment(hb, r), off
+
+
+def _ct_out(ct) -> bytes:
+    return struct.pack("<B", ct.level) + _int_out(ct.c)
+
+
+def _ct_in(buf: memoryview, off: int):
+    from .crypto.paillier import Ciphertext
+
+    (level,) = struct.unpack_from("<B", buf, off)
+    c, off = _int_in(buf, off + 1)
+    return Ciphertext(c, level), off
+
+
+def serialize_auth_query(q) -> bytes:
+    """AuthenticatedEncryptedQuery (aspir.go:14-26) -> bytes."""
+    q0 = serialize_doubly_encrypted_query(q.query0)
+    q1 = serialize_doubly_encrypted_query(q.query1)
+    return (_header(MSG_AUTH_QUERY)
+            + struct.pack("<I", len(q0)) + q0
+            + struct.pack("<I", len(q1)) + q1
+            + _commitment_out(q.auth_token_comm0)
+            + _commitment_out(q.auth_token_comm1))
+
+
+def deserialize_auth_query(data: bytes):
+    from .aspir import AuthenticatedEncryptedQuery
+
+    buf = _check_header(memoryview(data), MSG_AUTH_QUERY)
+    (n0,) = struct.unpack_from("<I", buf, 0)
+    q0 = deserialize_doubly_encrypted_query(bytes(buf[4:4 + n0]))
+    off = 4 + n0
+    (n1,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    q1 = deserialize_doubly_encrypted_query(bytes(buf[off:off + n1]))
+    off += n1
+    c0, off = _commitment_in(buf, off)
+    c1, off = _commitment_in(buf, off)
+    return AuthenticatedEncryptedQuery(q0, q1, c0, c1)
+
+
+def serialize_chal_token(t) -> bytes:
+    """ChalToken (aspir.go:44-49) -> bytes."""
+    return (_header(MSG_CHAL_TOKEN) + struct.pack("<I", t.secparam)
+            + _ct_out(t.token0) + _ct_out(t.token1))
+
+
+def deserialize_chal_token(data: bytes):
+    from .aspir import ChalToken
+
+    buf = _check_header(memoryview(data), MSG_CHAL_TOKEN)
+    (secparam,) = struct.unpack_from("<I", buf, 0)
+    t0, off = _ct_in(buf, 4)
+    t1, off = _ct_in(buf, off)
+    return ChalToken(t0, t1, secparam)
+
+
+def serialize_proof_token(p) -> bytes:
+    """ProofToken (aspir.go:51-60) -> bytes; carries the DDLEQ proof."""
+    parts = [
+        _header(MSG_PROOF_TOKEN),
+        _ct_out(p.auth_token),
+        _ct_out(p.t),
+        struct.pack("<B", p.q_bit),
+        _int_out(p.r),
+        _int_out(p.s),
+        struct.pack("<II", p.p.secparam, len(p.p.commitments)),
+    ]
+    for c in p.p.commitments:
+        parts.append(_int_out(c))
+    parts.append(struct.pack("<I", len(p.p.responses)))
+    for x, y in p.p.responses:
+        parts.append(_int_out(x))
+        parts.append(_int_out(y))
+    return b"".join(parts)
+
+
+def deserialize_proof_token(data: bytes):
+    from .aspir import ProofToken
+    from .crypto.paillier import DDLEQProof
+
+    buf = _check_header(memoryview(data), MSG_PROOF_TOKEN)
+    auth_token, off = _ct_in(buf, 0)
+    t, off = _ct_in(buf, off)
+    (q_bit,) = struct.unpack_from("<B", buf, off)
+    off += 1
+    r, off = _int_in(buf, off)
+    s, off = _int_in(buf, off)
+    secparam, n_comm = struct.unpack_from("<II", buf, off)
+    off += 8
+    commitments = []
+    for _ in range(n_comm):
+        c, off = _int_in(buf, off)
+        commitments.append(c)
+    (n_resp,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    responses = []
+    for _ in range(n_resp):
+        x, off = _int_in(buf, off)
+        y, off = _int_in(buf, off)
+        responses.append((x, y))
+    proof = DDLEQProof(commitments, responses, secparam)
+    return ProofToken(auth_token, t, proof, q_bit, r, s)
+
+
+def serialize_auth_share(s) -> bytes:
+    """AuthenticatedQueryShare (aspir.go:28-34) -> bytes."""
+    qs = serialize_query_share(s.query_share)
+    tok = bytes(s.auth_token.t.data)
+    return (_header(MSG_AUTH_SHARE)
+            + struct.pack("<I", len(qs)) + qs
+            + struct.pack("<I", len(tok)) + tok)
+
+
+def deserialize_auth_share(data: bytes):
+    from .aspir_shared import AuthenticatedQueryShare, AuthTokenShare
+
+    buf = _check_header(memoryview(data), MSG_AUTH_SHARE)
+    (n,) = struct.unpack_from("<I", buf, 0)
+    qs = deserialize_query_share(bytes(buf[4:4 + n]))
+    off = 4 + n
+    (tn,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    tok = Slot(bytes(buf[off:off + tn]))
+    return AuthenticatedQueryShare(qs, AuthTokenShare(tok))
+
+
+def serialize_audit_share(a) -> bytes:
+    """AuditTokenShare (aspir.go:213-217) -> bytes."""
+    tok = bytes(a.t.data)
+    return _header(MSG_AUDIT_SHARE) + struct.pack("<I", len(tok)) + tok
+
+
+def deserialize_audit_share(data: bytes):
+    from .aspir_shared import AuditTokenShare
+
+    buf = _check_header(memoryview(data), MSG_AUDIT_SHARE)
+    (n,) = struct.unpack_from("<I", buf, 0)
+    return AuditTokenShare(Slot(bytes(buf[4:4 + n])))
+
+
 # ---- DBMetadata ----
 
 META_HAS_KEYWORDS = 1  # server db carries a keyword column (db.go:119-135)
 META_HAS_SQRT_ST = 2  # service hosts a keyword sqrt search tree
+META_HAS_KEY_DB = 4  # service hosts an ASPIR auth-key database (aspir.go)
 
 
 def serialize_metadata(slot_bytes: int, db_size: int, flags: int = 0) -> bytes:
