@@ -19,20 +19,24 @@ class PirConfig:
     paillier_bits: int = 1024  # cPIR key size (db_test.go:330)
 
     # engines
-    engine: str = "auto"  # auto | host | native | tpu
+    engine: str = "auto"  # auto | host | native | tpu | mesh
     min_device_nodes: int = 32  # host-prefix cutoff for TPU expansion
 
-    # mesh (rows = 'tp', query batch = 'dp'; parallel/mesh.py)
+    # mesh (rows = 'tp', query batch = 'dp'; parallel/mesh.py). Setting
+    # mesh_tp * mesh_dp > 1 with engine auto/tpu selects the multi-chip
+    # MeshPirServer engine.
     mesh_tp: int = 1
     mesh_dp: int = 1
 
     def validate(self) -> "PirConfig":
         if self.num_shares < 2:
             raise ValueError("need at least 2 non-colluding servers")
-        if self.engine not in ("auto", "host", "native", "tpu"):
+        if self.engine not in ("auto", "host", "native", "tpu", "mesh"):
             raise ValueError(f"unknown engine {self.engine}")
         if self.group_size < 1:
             raise ValueError("group_size must be >= 1")
+        if self.mesh_tp < 1 or self.mesh_dp < 1:
+            raise ValueError("mesh_tp/mesh_dp must be >= 1")
         return self
 
 
@@ -126,9 +130,17 @@ def enable_compile_cache(path: str | None = None) -> None:
 
 
 def pick_engine(cfg: PirConfig):
-    """Resolve 'auto' to the best available engine."""
+    """Resolve 'auto' to the best available engine. mesh_tp/mesh_dp > 1
+    promotes auto/tpu to the multi-chip mesh engine."""
+    multi = cfg.mesh_tp * cfg.mesh_dp > 1
+    if cfg.engine == "mesh":
+        return "mesh"
+    if cfg.engine == "tpu":
+        return "mesh" if multi else "tpu"
     if cfg.engine != "auto":
         return cfg.engine
+    if multi:
+        return "mesh"
     try:
         import jax
 

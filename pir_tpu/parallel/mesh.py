@@ -266,6 +266,193 @@ def make_sharded_fast_answer_step(mesh: Mesh, d_levels: int):
     return jax.jit(mapped)
 
 
+class MeshPirServer:
+    """Multi-chip serving engine: same query surface as TpuPirServer but
+    every batch is answered by the whole device mesh (tp = DB rows,
+    dp = query batch), the deployment-scale analogue of the reference's
+    nprocs partial merge (db.go:256-261).
+
+    The table is uploaded once per group size (padded to the sharded row
+    count); per query the host computes only the subtree-prefix seeds for
+    each row shard (make_sharded_key) and the mesh expands + scans +
+    XOR-combines over ICI. Keyword / multi-party / tiny-domain queries
+    fall back to the host path with identical semantics.
+    """
+
+    def __init__(self, db, mesh: Mesh | None = None, tp: int | None = None,
+                 dp: int = 1):
+        if mesh is None:
+            n = (tp or len(jax.devices()) // dp) * dp
+            mesh = make_mesh(n, dp=dp)
+        self.db = db
+        self.mesh = mesh
+        self.n_shards = mesh.shape["tp"]
+        self.dp = mesh.shape["dp"]
+        self._tables: dict[tuple, object] = {}
+        self._perms: dict[tuple, object] = {}
+        self._steps: dict[tuple, object] = {}
+
+    # ---- geometry + caches ----
+
+    def _sharded_table(self, group_size: int, rows_per_shard: int):
+        from ..ops.scan import pack_table_u32
+
+        key = (group_size, rows_per_shard)
+        if key not in self._tables:
+            h = self.db.db_size // group_size
+            table = pack_table_u32(self.db.data, h, group_size)
+            table = pad_table_rows(table, self.n_shards * rows_per_shard)
+            self._tables[key] = jax.device_put(jnp.asarray(table))
+        return self._tables[key]
+
+    def _step(self, kind: str, d_levels: int):
+        key = (kind, d_levels)
+        if key not in self._steps:
+            self._steps[key] = (
+                make_sharded_fast_answer_step(self.mesh, d_levels)
+                if kind == "fast"
+                else make_sharded_answer_step(self.mesh, d_levels)
+            )
+        return self._steps[key]
+
+    def _perm(self, kind: str, d_levels: int, per_shard_nodes: int,
+              rows_per_shard: int):
+        from ..dpf.device import _fast_leaf_perm
+
+        key = (kind, d_levels, per_shard_nodes)
+        if key not in self._perms:
+            self._perms[key] = jnp.asarray(
+                _fast_leaf_perm(d_levels, rows_per_shard, per_shard_nodes)
+                if kind == "fast"
+                else shard_local_perm(d_levels, per_shard_nodes)
+            )
+        return self._perms[key]
+
+    def _mesh_applicable(self, query) -> bool:
+        if not query.is_two_party or query.is_keyword_based:
+            return False
+        h = self.db.db_size // query.group_size
+        if query.key_fast is not None:
+            return h >= 128 * 32 * self.n_shards
+        return h >= 32 * self.n_shards * 2  # subtree split needs headroom
+
+    # ---- host-path compatibility surface (audit reuse, fallbacks) ----
+
+    def expand_shared_query(self, query):
+        from .. import server as srv
+
+        return srv.expand_shared_query(self.db, query)
+
+    def private_secret_shared_query_with_expanded_bits(self, query, bits):
+        from .. import server as srv
+
+        return srv.private_secret_shared_query_with_expanded_bits(
+            self.db, query, np.asarray(bits).astype(bool)
+        )
+
+    # ---- mesh answer paths ----
+
+    def _answer_batch_compat(self, queries):
+        from ..ops.scan import unpack_result_u32
+        from ..slot import Slot
+        from ..utils.bits import num_bits_for_height
+
+        g = queries[0].group_size
+        h = self.db.db_size // g
+        nb = num_bits_for_height(h)
+        keys = []
+        for s in queries:
+            pf = dpf_host.server_initialize(s.prf_keys, nb)
+            keys.append(make_sharded_key(pf, s.key_two_party, h, self.n_shards))
+        k0 = keys[0]
+        seeds = np.stack([k.seeds for k in keys], axis=1)
+        t = np.stack([k.t for k in keys], axis=1)
+        cw_s = np.stack([k.cw_seed_masks for k in keys])
+        cw_tl = np.stack([k.cw_tl for k in keys])
+        cw_tr = np.stack([k.cw_tr for k in keys])
+        rk = np.stack([k.rk_masks for k in keys])
+        fcw = np.array([k.fcw_mask for k in keys], dtype=np.uint32)
+        per_shard_nodes = k0.seeds.shape[-1] * 32
+        perm = self._perm("compat", k0.d_levels, per_shard_nodes,
+                          k0.rows_per_shard)
+        table = self._sharded_table(g, k0.rows_per_shard)
+        step = self._step("compat", k0.d_levels)
+        out = np.asarray(step(table, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, perm))
+        sb = self.db.slot_bytes
+        results = []
+        for i in range(len(queries)):
+            res = unpack_result_u32(out[i], g, sb)
+            results.append(_shared_result(sb, [Slot(res[c].tobytes())
+                                               for c in range(g)]))
+        return results
+
+    def _answer_batch_fast(self, queries):
+        from ..ops.scan import unpack_result_u32
+        from ..slot import Slot
+
+        g = queries[0].group_size
+        keys = []
+        for s in queries:
+            pf = dpf_host.server_initialize(s.prf_keys, s.key_fast.depth)
+            keys.append(make_sharded_fast_key(pf, s.key_fast, self.n_shards))
+        k0 = keys[0]
+        seeds = np.stack([k.seeds for k in keys], axis=1)
+        t = np.stack([k.t for k in keys], axis=1)
+        cw_s = np.stack([k.cw_seed_masks for k in keys])
+        cw_tl = np.stack([k.cw_tl for k in keys])
+        cw_tr = np.stack([k.cw_tr for k in keys])
+        fcw = np.stack([k.fcw_masks for k in keys])
+        rk = np.stack([k.rk_masks for k in keys])
+        rk_leaf = np.stack([k.rk_leaf for k in keys])
+        perm = self._perm("fast", k0.d_levels, k0.per_shard_nodes,
+                          k0.rows_per_shard)
+        table = self._sharded_table(g, k0.rows_per_shard)
+        step = self._step("fast", k0.d_levels)
+        out = np.asarray(
+            step(table, seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf, perm)
+        )
+        sb = self.db.slot_bytes
+        results = []
+        for i in range(len(queries)):
+            res = unpack_result_u32(out[i], g, sb)
+            results.append(_shared_result(sb, [Slot(res[c].tobytes())
+                                               for c in range(g)]))
+        return results
+
+    def private_secret_shared_query_batch(self, queries):
+        from .. import server as srv
+
+        if not queries:
+            return []
+        q0 = queries[0]
+        uniform = all(
+            q.group_size == q0.group_size
+            and q.is_two_party == q0.is_two_party
+            and q.is_keyword_based == q0.is_keyword_based
+            and (q.key_fast is not None) == (q0.key_fast is not None)
+            for q in queries
+        )
+        if not uniform or not self._mesh_applicable(q0):
+            return [srv.private_secret_shared_query(self.db, q)
+                    for q in queries]
+        # dp requires Q % dp == 0: pad by repeating (padding sliced off)
+        n = len(queries)
+        if n % self.dp:
+            queries = list(queries) + list(queries[: self.dp - n % self.dp])
+        if q0.key_fast is not None:
+            return self._answer_batch_fast(queries)[:n]
+        return self._answer_batch_compat(queries)[:n]
+
+    def private_secret_shared_query(self, query):
+        return self.private_secret_shared_query_batch([query])[0]
+
+
+def _shared_result(slot_bytes, slots):
+    from ..query import SecretSharedQueryResult
+
+    return SecretSharedQueryResult(slot_bytes, slots)
+
+
 def make_sharded_answer_step(mesh: Mesh, d_levels: int):
     """Build the jitted multi-chip batched answer step.
 

@@ -120,6 +120,12 @@ class PirService:
             self._engine = TpuPirServer(
                 db, min_device_nodes=self.config.min_device_nodes
             )
+        elif self.engine_name == "mesh":
+            from .parallel.mesh import MeshPirServer
+
+            self._engine = MeshPirServer(
+                db, tp=self.config.mesh_tp, dp=self.config.mesh_dp
+            )
         elif self.engine_name == "native":
             from .server import NativePirServer
 
@@ -181,16 +187,13 @@ class PirService:
         )
 
     def _answer_batch(self, shares: list[QueryShare]) -> list[SecretSharedQueryResult]:
-        from .server import NativePirServer, TpuPirServer
-
         if not shares:
             return []
         if not self._batch_uniform(shares):
             return [self._answer(s) for s in shares]
-        if isinstance(self._engine, TpuPirServer):
-            return self._engine.private_secret_shared_query_batch(shares)
-        if isinstance(self._engine, NativePirServer):
-            return self._engine.private_secret_shared_query_batch(shares)
+        batch = getattr(self._engine, "private_secret_shared_query_batch", None)
+        if batch is not None:  # tpu / mesh / native engines
+            return batch(shares)
         return [self._answer(s) for s in shares]
 
     def _metadata_flags(self) -> int:

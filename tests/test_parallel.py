@@ -117,3 +117,91 @@ def test_sharded_fast_batched_answer_matches_host():
     for i in range(Q):
         got = unpack_result_u32(out[i], 1, slot_bytes)
         assert Slot(got[0].tobytes()).equal(hosts[i].shares[0]), i
+
+
+def test_mesh_pir_server_engine_matches_host():
+    """MeshPirServer answers batches through the sharded steps with
+    bit-exact recovery (compat + fast, incl. non-divisible batch)."""
+    from pir_tpu.parallel.mesh import MeshPirServer
+
+    height = 1024
+    db = generate_random_db(height, 12)
+    eng = MeshPirServer(db, tp=4, dp=2)
+    rng = random.Random(7)
+    for fast in (False, True):
+        h = height if not fast else height  # fast needs >= 128*32*tp rows?
+        if fast and height < 128 * 32 * eng.n_shards:
+            continue  # covered by the TCP test with a bigger table
+        idxs = [rng.randrange(height) for _ in range(5)]  # 5 % dp != 0
+        share_lists = [
+            q.new_index_query_shares(db.metadata(), i, 1, 2, fast=fast)
+            for i in idxs
+        ]
+        for server_num in (0, 1):
+            batch = [sl[server_num] for sl in share_lists]
+            got = eng.private_secret_shared_query_batch(batch)
+            for sl, res in zip(share_lists, got):
+                want = srv.private_secret_shared_query(db, sl[server_num])
+                assert res.shares[0].equal(want.shares[0])
+
+
+def test_mesh_engine_served_over_tcp():
+    """A TCP query answered by the 8-device mesh engine, selected via
+    PirConfig(mesh_tp/mesh_dp) — the deployment integration of the
+    reference's partial merge (db.go:256-261) at mesh scale."""
+    from pir_tpu.config import PirConfig
+    from pir_tpu.service import PirClient, PirService
+
+    height = 1 << 11
+    db = generate_random_db(height, 16)
+    cfg = PirConfig(engine="tpu", mesh_tp=4, mesh_dp=2)
+    s0 = PirService(db, config=cfg).start()
+    s1 = PirService(db, config=cfg).start()
+    try:
+        assert s0.engine_name == "mesh"
+        from pir_tpu.parallel.mesh import MeshPirServer
+
+        assert isinstance(s0._engine, MeshPirServer)
+        client = PirClient([s0.address, s1.address])
+        rng = random.Random(9)
+        idxs = [rng.randrange(height) for _ in range(4)]
+        res = client.query_index_batch(idxs, fast=False)
+        for i, r in zip(idxs, res):
+            assert bytes(r[0].data) == db.data[i].tobytes(), i
+        # single-query path + group_size > 1 through the mesh engine
+        res1 = client.query_index(idxs[0], fast=False)
+        assert bytes(res1[0].data) == db.data[idxs[0]].tobytes()
+        g_res = client.query_index(3, group_size=4, fast=False)
+        for j in range(4):
+            assert bytes(g_res[j].data) == db.data[3 * 4 + j].tobytes()
+        client.close()
+    finally:
+        s0.close()
+        s1.close()
+
+
+def test_mesh_engine_aspir_audit_over_tcp():
+    """Shared ASPIR gating works when the engine is the mesh server
+    (audit reuses the host-path expansion surface)."""
+    import pytest
+
+    from pir_tpu.config import PirConfig
+    from pir_tpu.service import PirClient, PirService
+
+    height = 1 << 10
+    db = generate_random_db(height, 8)
+    key_db = generate_random_db(height, 8)
+    cfg = PirConfig(engine="mesh", mesh_tp=8, mesh_dp=1)
+    leader = PirService(db, config=cfg, key_db=key_db).start()
+    peer = PirService(db, config=cfg, key_db=key_db,
+                      audit_leader=leader.address).start()
+    try:
+        client = PirClient([leader.address, peer.address])
+        res = client.query_index_authenticated(21, key_db.slot(21))
+        assert bytes(res[0].data) == db.data[21].tobytes()
+        with pytest.raises(PermissionError):
+            client.query_index_authenticated(22, key_db.slot(23))
+        client.close()
+    finally:
+        leader.close()
+        peer.close()
