@@ -1051,3 +1051,114 @@ def eval_points_bits_batch(dkeys: list, xbit_planes, n_points: int):
         stack("fcw_mask"),
         jnp.asarray(xbit_planes),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-party (>= 3 server) full-domain expansion
+# --------------------------------------------------------------------------
+# Device evaluation of the sigma-slot PRG walk (dpf/server.go:110-144
+# semantics as completed by host.generate_multi_server / host.eval_points_mp;
+# the reference's own MP path is dead code — keygen panics). Layout: the
+# gamma row-group axis is bit-packed into u32 lanes, the p2 seed slots are a
+# small leading axis, and only the PARITY of each mu-word is computed —
+# bit 0 of word delta is bit-plane 0 at byte 4*(delta%4) of output block
+# delta//4, so each AES block yields 4 selection-bit planes directly.
+
+
+@functools.lru_cache(maxsize=16)
+def _mp_expand_fn(p2: int, nwg: int, num_blocks: int, gamma_bits: int,
+                  delta_bits: int, height: int):
+    n_gamma = 1 << gamma_bits
+
+    def fn(seed_planes, present, rk_stack, ctr_masks, cw_par):
+        # seed_planes (8, p2, 16, NWg); present (p2, 1, NWg);
+        # rk_stack (num_blocks, 11, 8, 1, 16, 1);
+        # ctr_masks (num_blocks, 8, 1, 16, 1); cw_par (num_blocks, p2, 4, 1)
+        def body(carry, xs):
+            rk, ctr, cwp = xs
+            x = seed_planes ^ ctr
+            out = aes_encrypt_planes(x, rk) ^ x  # MMO (dpf/common.go:60-75)
+            # parity of little-endian u32 word 4b+k = bit0 of byte 4k
+            par = out[0][:, np.array([0, 4, 8, 12]), :]  # (p2, 4, NWg)
+            contrib = present & (par ^ cwp)
+            y_b = contrib[0]
+            for i in range(1, p2):  # p2 is small and static
+                y_b = y_b ^ contrib[i]
+            return carry, y_b  # (4, NWg)
+
+        _, ys = jax.lax.scan(body, 0, (rk_stack, ctr_masks, cw_par))
+        y = ys.reshape(num_blocks * 4, nwg)  # (mu_pad, NWg) parity planes
+        # unpack: bits[x] for x = gamma * 2^delta_bits + delta
+        gammas = jnp.arange(n_gamma, dtype=jnp.int32)
+        rows = jnp.take(y.T, gammas >> 5, axis=0)  # (n_gamma, mu_pad)
+        bits = (rows >> (gammas & 31)[:, None].astype(jnp.uint32)) & 1
+        bits = bits[:, : 1 << delta_bits].reshape(-1)[:height]
+        return bits.astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+def expand_mp_full_domain_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
+                               height: int):
+    """Device full-domain MP expansion -> (height,) uint8 bit shares.
+
+    Bit-for-bit equal to ``(host.eval_points_mp(...) & 1) == 1`` over
+    rows [0, height) (the XOR-share selection convention, server.py).
+    Index domains only (row index = gamma*2^delta_bits + delta); keyword
+    MP queries evaluate at arbitrary points and stay on the host path.
+    """
+    p2, mu, gamma_bits, delta_bits = dpf_host._mp_params(
+        server.num_bits, key.num_parties
+    )
+    n_gamma = 1 << gamma_bits
+    seeds = np.frombuffer(b"".join(key.sigma), dtype=np.uint8).reshape(
+        n_gamma, p2, 16
+    )
+    # per-slot gamma-lane planes: (p2, 8, 16, NWg) -> (8, p2, 16, NWg)
+    slot_planes = np.stack(
+        [blocks_to_planes(np.ascontiguousarray(seeds[:, i])) for i in range(p2)]
+    )
+    seed_planes = np.ascontiguousarray(slot_planes.transpose(1, 0, 2, 3))
+    nwg = seed_planes.shape[-1]
+
+    # presence: zero seeds skip G and CW (dpf/server.go:127-136). Packed
+    # per-lane 1-bits (the parity planes are bit-packed the same way, so
+    # a plain & masks out absent slots).
+    present_bits = seeds.any(axis=2).astype(np.uint32)  # (n_gamma, p2)
+    pad = nwg * 32 - n_gamma
+    if pad:
+        present_bits = np.pad(present_bits, ((0, pad), (0, 0)))
+    packed = (present_bits.reshape(nwg, 32, p2)
+              * (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, :, None]
+              ).sum(axis=1, dtype=np.uint32)  # (NWg, p2)
+    present = np.ascontiguousarray(packed.T)[:, None, :]  # (p2, 1, NWg)
+
+    num_blocks = -(-server.m * mu // 16)
+    # round keys per output block: fixed key i%4 (prf_blocks extension)
+    rk4 = [key_masks(key_schedule(server.ciphers[i].key)[None])[..., 0][..., None]
+           for i in range(4)]  # each (11, 8, 16, 1)
+    rk_stack = np.stack([rk4[b % 4] for b in range(num_blocks)])[:, :, :, None]
+    # -> (num_blocks, 11, 8, 1, 16, 1)
+
+    # counter blocks: x ^= LE64(b//4) in bytes 0..7 (aes_host.prf_blocks)
+    ctr = np.zeros((num_blocks, 16), dtype=np.uint8)
+    for b in range(num_blocks):
+        ctr[b, :8] = np.frombuffer((b // 4).to_bytes(8, "little"), np.uint8)
+    ctr_bits = ((ctr[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1)
+    ctr_masks = (ctr_bits.transpose(0, 2, 1).astype(np.uint32) * _FULL
+                 )[:, :, None, :, None]  # (num_blocks, 8, 1, 16, 1)
+
+    # CW parity masks per (block, slot, word-in-block)
+    mu_pad = num_blocks * 4
+    cw_bits = np.zeros((p2, mu_pad), dtype=np.uint32)
+    for i in range(p2):
+        w = np.asarray(key.cw[i][:mu], dtype=np.uint32)
+        cw_bits[i, : len(w)] = w & 1
+    cw_par = (cw_bits * _FULL).reshape(p2, num_blocks, 4).transpose(1, 0, 2)
+    cw_par = np.ascontiguousarray(cw_par)[..., None]  # (num_blocks, p2, 4, 1)
+
+    fn = _mp_expand_fn(p2, nwg, num_blocks, gamma_bits, delta_bits, height)
+    return fn(
+        jnp.asarray(seed_planes), jnp.asarray(present), jnp.asarray(rk_stack),
+        jnp.asarray(ctr_masks), jnp.asarray(cw_par),
+    )

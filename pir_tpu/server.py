@@ -505,8 +505,15 @@ class TpuPirServer:
 
             return fused_fast_bits_fn(layout)(payload, self._fast_perm(dkey))
         if not query.is_two_party:
-            # multi-party expansion stays host-side (the p2^{p-1}-slot
-            # PRG walk is sequential-per-row); the scan still runs on TPU
+            if not query.is_keyword_based:
+                # bitsliced device eval of the sigma-slot PRG walk
+                # (dpf/server.go:110-144 semantics; dpf/device.py MP
+                # section) — no host expansion on the serving path
+                pf = _server_dpf(self.db, query)
+                return dev.expand_mp_full_domain_bits(
+                    pf, query.key_multi_party, h
+                )
+            # keyword MP queries evaluate at arbitrary points; host path
             return expand_shared_query(self.db, query).astype(np.uint8)
         pf = _server_dpf(self.db, query)
         if query.is_keyword_based:

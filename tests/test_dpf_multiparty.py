@@ -114,3 +114,53 @@ def test_multiparty_native_engine_fallback():
     res = q.recover([s.private_secret_shared_query(sh)
                      for s, sh in zip(servers, shares)])
     assert bytes(res[0].data) == db.data[idx].tobytes()
+
+
+def test_device_mp_expansion_matches_host():
+    """Device sigma-slot PRG walk == host eval (bit shares), all parties."""
+    import numpy as np
+
+    from pir_tpu.dpf import device as dev
+    from pir_tpu.dpf import host as dpf
+
+    for num_parties, nb, a, height in ((3, 8, 77, 256), (4, 9, 300, 500),
+                                       (5, 7, 0, 128)):
+        client = dpf.client_initialize(nb)
+        keys = dpf.generate_multi_server(client, a, 1, num_parties)
+        pts = np.arange(height, dtype=np.int64)
+        acc = np.zeros(height, np.uint8)
+        for k in keys:
+            host_bits = ((dpf.eval_points_mp(client, k, pts) & 1) == 1)
+            dev_bits = np.asarray(dev.expand_mp_full_domain_bits(client, k, height))
+            assert (host_bits.astype(np.uint8) == dev_bits).all()
+            acc ^= dev_bits
+        want = np.zeros(height, np.uint8)
+        if a < height:
+            want[a] = 1
+        assert (acc == want).all()
+
+
+def test_tpu_engine_answers_mp_queries_on_device():
+    """TpuPirServer answers >=3-party index queries with the device
+    expansion (no host fallback) and recovery is bit-exact."""
+    import random
+
+    import numpy as np
+
+    from pir_tpu import query as q
+    from pir_tpu import server as srv
+    from pir_tpu.database import generate_random_db
+
+    rng = random.Random(13)
+    db = generate_random_db(1 << 9, 16)
+    engine = srv.TpuPirServer(db)
+    for n_servers in (3, 4):
+        idx = rng.randrange(db.db_size)
+        shares = q.new_index_query_shares(db.metadata(), idx, 1, n_servers)
+        # the engine expansion must equal the host engine's bits
+        for s in shares:
+            eng_bits = np.asarray(engine.expand_shared_query(s)).astype(bool)
+            host_bits = srv.expand_shared_query(db, s)
+            assert (eng_bits == host_bits).all()
+        res = q.recover([engine.private_secret_shared_query(s) for s in shares])
+        assert bytes(res[0].data) == db.data[idx].tobytes(), (n_servers, idx)
