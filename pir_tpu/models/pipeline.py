@@ -355,7 +355,7 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
         unpack_fast_root_payload,
     )
     from ..ops.pallas_expand import fast_tail_expand_pallas
-    from ..ops.pallas_scan import mxu_batched_scan_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
 
     depth = layout.depth
     tail = max(0, min(tail_levels, depth - 5))
@@ -379,19 +379,20 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
         packed = fast_tail_expand_pallas(
             seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
             levels=tail, interpret=interpret,
-        )  # (Q, 8, 16, NWf)
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = ((packed[..., None] >> shifts) & jnp.uint32(1)).astype(
-            jnp.uint8
-        ).reshape(packed.shape[0], -1)  # (Q, flat)
-        pad = table_u8.shape[0] - bits.shape[1]
-        if pad:
-            bits = jnp.pad(bits, ((0, 0), (0, pad)))
+        )  # (Q, 8, 16, NWf): word (k*16+i)*NWf+w bit j = table row 32w'+j
+        q = packed.shape[0]
+        words = packed.reshape(q, -1)  # (Q, flat // 32), free reshape
         rows, b = table_u8.shape
-        br, bc = scan_tile_sizes(bits.shape[0], rows, b,
+        flat = words.shape[1] * 32
+        if rows > flat:  # zero bits for XOR-neutral padded table rows
+            words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
+        br, bc = scan_tile_sizes(q, rows, b,
                                  max_br=block_rows, max_bc=block_cols)
-        return mxu_batched_scan_pallas(
-            table_u8, bits, block_rows=br, block_cols=bc,
+        # bits stay bit-packed all the way into the kernel: the (Q, flat)
+        # byte matrix (8x the packed form; the HBM cap on batch > 1024 and
+        # ~half the scan's HBM traffic) never materialises.
+        return mxu_batched_scan_packed_pallas(
+            table_u8, words, block_rows=br, block_cols=bc,
             interpret=interpret,
         )
 
@@ -466,7 +467,7 @@ def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
         unpack_compat_root_payload,
     )
     from ..ops.pallas_expand import compat_stage_pallas
-    from ..ops.pallas_scan import mxu_batched_scan_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
 
     nbd, sk = layout.device_bits, layout.skip
     split, tails = compat_stage_plan(nbd, w, max_tail)
@@ -498,27 +499,26 @@ def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
             else:
                 seeds, t = res
             off += tl
-        pw = packed.reshape(packed.shape[0], -1)  # (qc, NWf) words
-        shifts = jnp.arange(32, dtype=jnp.uint32)
-        bits = (pw[..., None] >> shifts) & jnp.uint32(1)
-        return bits.reshape(pw.shape[0], -1).astype(jnp.uint8)
+        return packed.reshape(packed.shape[0], -1)  # (qc, NWf) bit words
 
     def fn(table_u8, payloads):
         qn = payloads.shape[0]
         if qn <= q_chunk:
-            bits = bits_chunk(payloads)
+            words = bits_chunk(payloads)
         else:
             assert qn % q_chunk == 0, (qn, q_chunk)
-            bits = jax.lax.map(
+            words = jax.lax.map(
                 bits_chunk, payloads.reshape(-1, q_chunk, payloads.shape[1])
             ).reshape(qn, -1)
-        pad = table_u8.shape[0] - bits.shape[1]
-        if pad:
-            bits = jnp.pad(bits, ((0, 0), (0, pad)))
         rows, b = table_u8.shape
-        br, bc = scan_tile_sizes(bits.shape[0], rows, b)
-        return mxu_batched_scan_pallas(
-            table_u8, bits, block_rows=br, block_cols=bc, interpret=interpret
+        pad = rows - words.shape[1] * 32
+        if pad:  # zero bits for XOR-neutral padded table rows
+            words = jnp.pad(words, ((0, 0), (0, pad // 32)))
+        br, bc = scan_tile_sizes(qn, rows, b)
+        # bit-packed all the way into the scan kernel: the (Q, 2^nbd) u8
+        # matrix (2 MB/query on the 1 GiB table) never materialises
+        return mxu_batched_scan_packed_pallas(
+            table_u8, words, block_rows=br, block_cols=bc, interpret=interpret
         )
 
     return jax.jit(fn)

@@ -36,3 +36,29 @@ def test_scan_tile_sizes_vmem_budget():
         assert est < 16 * 2**20, (q, br, bc, est)
     # non-power-of-two columns fall back to full width
     assert scan_tile_sizes(512, rows, 96)[1] == 96
+
+
+def test_packed_scan_matches_unpacked():
+    """mxu_batched_scan_packed_pallas == mxu_batched_scan_pallas with the
+    bits unpacked (bit j of word w selects row 32w+j)."""
+    import numpy as np
+
+    from pir_tpu.ops.pallas_scan import (
+        mxu_batched_scan_packed_pallas,
+        mxu_batched_scan_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, b, q, br, bc in ((4096, 256, 8, 512, 128), (2048, 128, 3, 2048, 128),
+                            (8192, 512, 16, 1024, 256)):
+        table = rng.integers(0, 256, size=(h, b), dtype=np.uint8)
+        packed = rng.integers(0, 1 << 32, size=(q, h // 32), dtype=np.uint64
+                              ).astype(np.uint32)
+        shifts = np.arange(32, dtype=np.uint32)
+        bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8
+                                                           ).reshape(q, h)
+        want = np.asarray(mxu_batched_scan_pallas(
+            table, bits, block_rows=br, block_cols=bc, interpret=True))
+        got = np.asarray(mxu_batched_scan_packed_pallas(
+            table, packed, block_rows=br, block_cols=bc, interpret=True))
+        assert (got == want).all(), (h, b, q)
