@@ -19,6 +19,7 @@ JSON summary line on stdout). BENCH_PLATFORM=cpu for harness testing.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -63,7 +64,7 @@ def main():
     # lanes each = 32*NW parallel nodes per call, 3 AES blocks per node.
     from pir_tpu.dpf.device import _prf_triple
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("reps",))
     def chained(seeds, reps):
         def body(s, _):
             out = _prf_triple(s, rk)

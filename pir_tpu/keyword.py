@@ -143,6 +143,16 @@ class PrivateBST:
         self.data_layer = new_database()
         self.data_layer.build_for_data_with_slot_size(data, slot)
 
+    def private_level_query(self, level: int, query):
+        """Server side: answer one level's boundary-key PIR query.
+
+        Level databases are tiny (2^level single-slot rows), so the host
+        engine answers them; the data layer is served as an ordinary
+        index-PIR database (the service shell's main db)."""
+        from . import server as srv
+
+        return srv.private_secret_shared_query(self.levels[level], query)
+
     def lookup(self, key: str, query_level, query_data) -> tuple[int, list]:
         """Walk the tree with caller-provided PIR oracles.
 

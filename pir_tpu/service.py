@@ -50,6 +50,10 @@ OP_ASPIR_PROOF = 9
 OP_ASPIR_SHARED_QUERY = 10
 OP_ASPIR_AUDIT_SUBMIT = 11
 OP_ASPIR_AUDIT = 12
+# PrivateBST keyword index (keyword.py; the reference's stated future
+# work, keyword.go:14-16)
+OP_BST_META = 13
+OP_BST_LEVEL = 14
 OP_ERROR = 255
 
 
@@ -88,13 +92,19 @@ class PirService:
                  config: PirConfig | None = None, sqrt_st=None,
                  key_db: Database | None = None,
                  audit_leader: tuple[str, int] | None = None,
-                 audit_timeout: float = 30.0):
+                 audit_timeout: float = 30.0, bst=None):
         if db is None:
-            if sqrt_st is None:
-                raise ValueError("need a Database or a PrivateSqrtST")
-            db = sqrt_st.second_layer
+            if sqrt_st is not None:
+                db = sqrt_st.second_layer
+            elif bst is not None:
+                db = bst.data_layer
+            else:
+                raise ValueError(
+                    "need a Database, a PrivateSqrtST, or a PrivateBST"
+                )
         self.db = db
         self.sqrt_st = sqrt_st
+        self.bst = bst
         # ASPIR: parallel database of per-item auth keys (aspir.go:62-108,
         # 245-279). For the shared variant's audit exchange, one service
         # acts as audit leader (audit_leader=None); the others push their
@@ -204,6 +214,8 @@ class PirService:
             flags |= wire.META_HAS_SQRT_ST
         if self.key_db is not None:
             flags |= wire.META_HAS_KEY_DB
+        if self.bst is not None:
+            flags |= wire.META_HAS_BST
         return flags
 
     # ---- ASPIR (authenticated PIR) ----
@@ -403,6 +415,21 @@ class PirService:
                     "audit failed: auth key does not match the queried item"
                 )
             return OP_ASPIR_SHARED_QUERY, wire.serialize_shared_result(res)
+        if opcode == OP_BST_META:
+            if self.bst is None:
+                raise ValueError("this service hosts no BST keyword index")
+            return OP_BST_META, wire.serialize_bst_meta(self.bst)
+        if opcode == OP_BST_LEVEL:
+            # u32 level ‖ QueryShare -> shared result over that level's
+            # (tiny) boundary database
+            if self.bst is None:
+                raise ValueError("this service hosts no BST keyword index")
+            (level,) = struct.unpack_from("<I", payload, 0)
+            if level >= self.bst.depth:
+                raise ValueError(f"level {level} out of range")
+            share = wire.deserialize_query_share(bytes(payload[4:]))
+            res = self.bst.private_level_query(level, share)
+            return OP_BST_LEVEL, wire.serialize_shared_result(res)
         if opcode == OP_SQRTST_META:
             if self.sqrt_st is None:
                 raise ValueError("this service hosts no sqrt search tree")
@@ -571,6 +598,57 @@ class PirClient:
                 self._rpc(0, OP_SQRTST_META, b"")
             )
         return self._sqrt_st
+
+    def bst_meta(self):
+        """Fetch (and cache) the hosted BST's geometry (depth, N, slot)."""
+        if getattr(self, "_bst_meta", None) is None:
+            if not (self.db_flags & wire.META_HAS_BST):
+                raise RuntimeError("service hosts no BST keyword index")
+            self._bst_meta = wire.deserialize_bst_meta(
+                self._rpc(0, OP_BST_META, b"")
+            )
+        return self._bst_meta
+
+    def _bst_level_query(self, level: int, node: int, slot_bytes: int):
+        """One PIR query against the 2^level boundary DB of every server."""
+        from .database import DBMetadata
+        from .query import new_index_query_shares
+
+        md = DBMetadata(slot_bytes, 1 << level)
+        shares = new_index_query_shares(md, node, 1, len(self._socks))
+        resps = []
+        with self._lock:
+            for sock, share in zip(self._socks, shares):
+                _send_frame(sock, OP_BST_LEVEL,
+                            struct.pack("<I", level)
+                            + wire.serialize_query_share(share))
+            for sock in self._socks:
+                resps.append(_recv_frame(sock))
+        for op, p in resps:
+            if op == OP_ERROR:
+                raise RuntimeError(p.decode())
+        return recover([wire.deserialize_shared_result(p) for _, p in resps])
+
+    def query_keyword_bst(self, key: str, fast: bool = True):
+        """Keyword lookup via the hosted PrivateBST (the reference's
+        stated future work, keyword.go:14-16): one single-slot PIR query
+        per level — O(slot * log N) bandwidth, no cleartext boundary
+        keys — then one data query. Returns (present, index, slot).
+
+        Privacy: every level query is an independent PIR query and the
+        one-query-per-level pattern is data-independent."""
+        from .slot import new_slot_from_string
+
+        depth, _, slot_bytes = self.bst_meta()
+        probe = new_slot_from_string(key, slot_bytes)
+        node = 0
+        for lvl in range(depth):
+            boundary = self._bst_level_query(lvl, node, slot_bytes)[0]
+            bit = 0 if boundary.compare(probe) < 0 else 1  # descending order
+            node = 2 * node + bit
+        slots = self.query_index(node, fast=fast)
+        present = slots[0].equal(probe)
+        return present, node, slots[0]
 
     def query_keyword(self, key: str, fast: bool = True):
         """Keyword lookup via the hosted sqrt search tree (keyword.go:76-90

@@ -562,11 +562,33 @@ def deserialize_audit_share(data: bytes):
     return AuditTokenShare(Slot(bytes(buf[4:4 + n])))
 
 
+# ---- PrivateBST (keyword.go:14-16's stated future work) ----
+
+MSG_BST_META = 14
+
+
+def serialize_bst_meta(bst) -> bytes:
+    """Client-visible BST geometry: depth, num_keys, level slot size.
+
+    Unlike the sqrt tree's first layer, NO keys travel in the clear —
+    that is the point of the BST variant (O(slot * log N) bandwidth)."""
+    return _header(MSG_BST_META) + struct.pack(
+        "<IQI", bst.depth, bst.num_keys, bst.data_layer.slot_bytes
+    )
+
+
+def deserialize_bst_meta(data: bytes) -> tuple[int, int, int]:
+    buf = _check_header(memoryview(data), MSG_BST_META)
+    depth, num_keys, slot_bytes = struct.unpack_from("<IQI", buf, 0)
+    return depth, num_keys, slot_bytes
+
+
 # ---- DBMetadata ----
 
 META_HAS_KEYWORDS = 1  # server db carries a keyword column (db.go:119-135)
 META_HAS_SQRT_ST = 2  # service hosts a keyword sqrt search tree
 META_HAS_KEY_DB = 4  # service hosts an ASPIR auth-key database (aspir.go)
+META_HAS_BST = 8  # service hosts a PrivateBST keyword index
 
 
 def serialize_metadata(slot_bytes: int, db_size: int, flags: int = 0) -> bytes:
