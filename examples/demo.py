@@ -73,6 +73,22 @@ def main():
     print("keyword PIR: absent key correctly not found OK")
     kclient.close(); k0.close(); k1.close()
 
+    # --- keyword PIR via the PrivateBST: no cleartext keys at all ---
+    from pir_tpu.keyword import new_private_bst, pad_to_power_of_2
+
+    bdata = sorted(pad_to_power_of_2([f"user-{i:05d}" for i in range(900)]),
+                   reverse=True)
+    bst = new_private_bst()
+    bst.build_for_data(bdata)
+    b0 = PirService(bst=bst).start()
+    b1 = PirService(bst=bst).start()
+    bclient = PirClient([b0.address, b1.address])
+    present, bidx, _ = bclient.query_keyword_bst("user-00233")
+    assert present and bdata[bidx] == "user-00233"
+    print(f"keyword PIR (BST): found 'user-00233' with {bst.depth} level "
+          f"queries, zero cleartext keys OK")
+    bclient.close(); b0.close(); b1.close()
+
     # --- authenticated (ASPIR) shared query with audit ---
     keydb = generate_random_db(1 << 10, 8)
     target = 77
@@ -81,6 +97,22 @@ def main():
     audits = [generate_audit_for_shared_query(keydb, s) for s in ashares]
     assert check_audit(*audits)
     print("ASPIR: audit passed for the legitimate auth key OK")
+
+    # --- ASPIR served over TCP: audit-gated release (shared variant) ---
+    adb = generate_random_db(1 << 8, 16)
+    akeys = generate_random_db(1 << 8, 8)
+    leader = PirService(adb, key_db=akeys).start()
+    peer = PirService(adb, key_db=akeys, audit_leader=leader.address).start()
+    aclient = PirClient([leader.address, peer.address])
+    res = aclient.query_index_authenticated(33, akeys.slot(33))
+    assert bytes(res[0].data) == adb.data[33].tobytes()
+    print("ASPIR over TCP: authenticated retrieval released after audit OK")
+    try:
+        aclient.query_index_authenticated(34, akeys.slot(35))
+        raise AssertionError("wrong key must be refused")
+    except PermissionError:
+        print("ASPIR over TCP: wrong auth key refused by the servers OK")
+    aclient.close(); leader.close(); peer.close()
 
     print("demo complete")
 
