@@ -390,9 +390,10 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
                                  max_br=block_rows, max_bc=block_cols)
         # bits stay bit-packed all the way into the kernel: the (Q, flat)
         # byte matrix (8x the packed form; the HBM cap on batch > 1024 and
-        # ~half the scan's HBM traffic) never materialises.
+        # ~half the scan's HBM traffic) never materialises. Transposed so
+        # queries sit in the lane dim (Mosaic block-shape rule).
         return mxu_batched_scan_packed_pallas(
-            table_u8, words, block_rows=br, block_cols=bc,
+            table_u8, words.T, block_rows=br, block_cols=bc,
             interpret=interpret,
         )
 
@@ -518,7 +519,8 @@ def fused_compat_root_batch_pallas_fn(layout, w: int = 128,
         # bit-packed all the way into the scan kernel: the (Q, 2^nbd) u8
         # matrix (2 MB/query on the 1 GiB table) never materialises
         return mxu_batched_scan_packed_pallas(
-            table_u8, words, block_rows=br, block_cols=bc, interpret=interpret
+            table_u8, words.T, block_rows=br, block_cols=bc,
+            interpret=interpret
         )
 
     return jax.jit(fn)

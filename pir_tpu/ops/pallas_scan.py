@@ -87,11 +87,13 @@ def mxu_batched_scan_pallas(
 def _packed_planes_scan_kernel(words_ref, table_ref, o_ref, acc_ref):
     """Batched bit-plane scan taking BIT-PACKED selection bits.
 
-    words holds 32 rows' selection bits per u32 lane (word w bit j =
-    row 32w+j, matching the storage-order flattening of the expansion's
-    plane output); the (Q, BR) uint8 bit block is unpacked in VMEM, so
-    the 8x-larger byte-per-bit matrix never exists in HBM — that matrix
-    was both the HBM cap on large batches and pure wasted bandwidth
+    words_ref holds the bits TRANSPOSED, (BR // 32, Q) u32 — word w bit
+    j of lane q selects row 32w+j for query q. The transposed layout
+    keeps the lane (last) dimension at the full Q axis, which the
+    Mosaic block-shape rules require; the (BR, Q) bit block is unpacked
+    in VMEM and contracted over axis 0 against the table tile, so the
+    8x-larger byte-per-bit matrix never exists in HBM — that matrix was
+    both the HBM cap on large batches and pure wasted bandwidth
     (VERDICT r2 weak-2/3).
     """
     i = pl.program_id(1)
@@ -101,16 +103,18 @@ def _packed_planes_scan_kernel(words_ref, table_ref, o_ref, acc_ref):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     rows = table_ref[...]  # (BR, BC) uint8
-    words = words_ref[...]  # (Q, BR // 32) uint32
-    q, wpb = words.shape
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
-    bblk = ((words[:, :, None] >> shifts) & jnp.uint32(1)).astype(
+    words = words_ref[...]  # (BR // 32, Q) uint32
+    wpb, q = words.shape
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    bits_t = ((words[:, None, :] >> shifts) & jnp.uint32(1)).astype(
         jnp.int8
-    ).reshape(q, wpb * 32)
+    ).reshape(wpb * 32, q)  # (BR, Q): row-major bits, queries in lanes
+    contract = (((0,), (0,)), ((), ()))  # (BR,Q)x(BR,BC) -> (Q,BC)
     folded = jnp.zeros(acc_ref.shape, jnp.int32)
     for p in range(8):
         plane = (rows & np.uint8(1 << p) != 0).astype(jnp.int8)
-        d = jnp.dot(bblk, plane, preferred_element_type=jnp.int32)
+        d = jax.lax.dot_general(bits_t, plane, contract,
+                                preferred_element_type=jnp.int32)
         folded = folded | ((d & 1) << p)
     acc_ref[...] ^= folded
 
@@ -122,28 +126,30 @@ def _packed_planes_scan_kernel(words_ref, table_ref, o_ref, acc_ref):
 @functools.partial(jax.jit, static_argnames=("block_rows", "block_cols", "interpret"))
 def mxu_batched_scan_packed_pallas(
     table_u8: jnp.ndarray,
-    packed_bits: jnp.ndarray,
+    packed_bits_t: jnp.ndarray,
     block_rows: int = 2048,
     block_cols: int = 512,
     interpret: bool = False,
 ):
-    """table (H, B) uint8, packed_bits (Q, H // 32) uint32 -> (Q, B) uint8.
+    """table (H, B) uint8, packed_bits_t (H // 32, Q) uint32 -> (Q, B) u8.
 
     Same scan as mxu_batched_scan_pallas but the bits operand stays
-    bit-packed in HBM (word w bit j selects row 32w+j). H % block_rows
-    == 0, block_rows % 32 == 0, B % block_cols == 0.
+    bit-packed in HBM, transposed so queries occupy the lane dimension
+    (word w bit j of lane q selects row 32w+j). H % block_rows == 0,
+    block_rows % 256 == 0 (the words block's sublane dim must be a
+    multiple of 8), B % block_cols == 0.
     """
     h, b = table_u8.shape
-    q = packed_bits.shape[0]
+    q = packed_bits_t.shape[1]
     assert h % block_rows == 0 and b % block_cols == 0, (h, b)
-    assert block_rows % 32 == 0 and packed_bits.shape[1] == h // 32
+    assert block_rows % 256 == 0 and packed_bits_t.shape[0] == h // 32
     grid = (b // block_cols, h // block_rows)
     wpb = block_rows // 32
     return pl.pallas_call(
         _packed_planes_scan_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q, wpb), lambda j, i: (0, i),
+            pl.BlockSpec((wpb, q), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rows, block_cols), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
@@ -153,7 +159,7 @@ def mxu_batched_scan_packed_pallas(
         out_shape=jax.ShapeDtypeStruct((q, b), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((q, block_cols), jnp.int32)],
         interpret=interpret,
-    )(packed_bits, table_u8)
+    )(packed_bits_t, table_u8)
 
 
 def _scan_kernel(bits_ref, table_ref, o_ref):

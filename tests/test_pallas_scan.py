@@ -49,7 +49,7 @@ def test_packed_scan_matches_unpacked():
     )
 
     rng = np.random.default_rng(11)
-    for h, b, q, br, bc in ((4096, 256, 8, 512, 128), (2048, 128, 3, 2048, 128),
+    for h, b, q, br, bc in ((4096, 256, 8, 512, 128), (2048, 256, 3, 2048, 128),
                             (8192, 512, 16, 1024, 256)):
         table = rng.integers(0, 256, size=(h, b), dtype=np.uint8)
         packed = rng.integers(0, 1 << 32, size=(q, h // 32), dtype=np.uint64
@@ -60,5 +60,6 @@ def test_packed_scan_matches_unpacked():
         want = np.asarray(mxu_batched_scan_pallas(
             table, bits, block_rows=br, block_cols=bc, interpret=True))
         got = np.asarray(mxu_batched_scan_packed_pallas(
-            table, packed, block_rows=br, block_cols=bc, interpret=True))
+            table, packed.T.copy(), block_rows=br, block_cols=bc,
+            interpret=True))
         assert (got == want).all(), (h, b, q)
