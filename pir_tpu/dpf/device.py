@@ -563,6 +563,12 @@ class FastRootLayout:
 
     depth: int
     height: int
+    # True when every share in the batch carries the SAME PRF keys (the
+    # batch-keygen and single-client cases): the round-key masks are then
+    # expanded once for the whole batch instead of per query — per-query
+    # masks pad to ~2 MiB/query under (8,128) tiling, which OOMed HBM at
+    # batch 4096.
+    shared_rk: bool = False
 
     @property
     def sizes(self):
@@ -644,7 +650,11 @@ def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
     q_n = len(shares)
     k0 = shares[0].key_fast
     depth, height = k0.depth, k0.height
-    layout = FastRootLayout(depth, height)
+    prf0 = tuple(bytes(k.bytes) for k in shares[0].prf_keys)
+    shared_rk = all(
+        tuple(bytes(k.bytes) for k in s.prf_keys) == prf0 for s in shares
+    )
+    layout = FastRootLayout(depth, height, shared_rk)
     _full = np.uint32(0xFFFFFFFF)
 
     payload = np.zeros((q_n, layout.total), dtype=np.uint32)

@@ -361,21 +361,38 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
     tail = max(0, min(tail_levels, depth - 5))
     head_levels = depth - tail
 
-    def head(payload):
+    shared_rk = getattr(layout, "shared_rk", False)
+
+    def head(payload, rk_shared=None):
         seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = (
             unpack_fast_root_payload(payload, layout)
         )
+        if rk_shared is not None:
+            rk = rk_shared  # batch-shared PRF keys: no per-query masks
         for i in range(head_levels):
             seeds, t = _expand_root_level(
                 seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk, i
             )
+        if rk_shared is not None:
+            return (seeds, t[None, :], cw_s[head_levels:],
+                    cw_tl[head_levels:], cw_tr[head_levels:], fcw)
         return (seeds, t[None, :], cw_s[head_levels:], cw_tl[head_levels:],
                 cw_tr[head_levels:], rk, fcw, rk_leaf)
 
     def fn(table_u8, payloads):
-        seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf = jax.vmap(head)(
-            payloads
-        )
+        if shared_rk:
+            # one mask expansion for the whole batch (per-query masks pad
+            # to ~2 MiB/query under (8,128) tiling — the batch-4096 OOM)
+            _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+                payloads[0], layout
+            )
+            seeds, t, cw_s, cw_tl, cw_tr, fcw = jax.vmap(
+                lambda p: head(p, rk)
+            )(payloads)
+        else:
+            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf = jax.vmap(head)(
+                payloads
+            )
         packed = fast_tail_expand_pallas(
             seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
             levels=tail, interpret=interpret,

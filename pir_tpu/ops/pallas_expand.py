@@ -82,12 +82,13 @@ def _aes_encrypt_roll(x, rk_masks):
     return state ^ rk_masks[10]
 
 
-def _tail_kernel(levels: int):
+def _tail_kernel(levels: int, shared_rk: bool = False):
     def kernel(seeds_ref, t_ref, cw_s_ref, cw_tl_ref, cw_tr_ref, rk_ref,
                fcw_ref, rkl_ref, out_ref):
         seeds = seeds_ref[0]  # (8, 16, NW0)
         t = t_ref[0]  # (1, NW0)
-        rk = rk_ref[0]  # (11, 8, 3, 16, 1)
+        # shared_rk: one (11,8,3,16,1) mask set for the whole batch
+        rk = rk_ref[...] if shared_rk else rk_ref[0]
         for l in range(levels):
             x = seeds[:, None, :, :]  # (8, 1, 16, NW)
             prg = _aes_encrypt_roll(x, rk) ^ x  # (8, 3, 16, NW) MMO
@@ -107,7 +108,8 @@ def _tail_kernel(levels: int):
             t_r = t_r ^ (t & cw_tr_ref[0, l])
             seeds = jnp.concatenate([s_l, s_r], axis=-1)
             t = jnp.concatenate([t_l, t_r], axis=-1)
-        prg = _aes_encrypt_roll(seeds, rkl_ref[0]) ^ seeds  # leaf MMO
+        rkl = rkl_ref[...] if shared_rk else rkl_ref[0]
+        prg = _aes_encrypt_roll(seeds, rkl) ^ seeds  # leaf MMO
         out_ref[0] = prg ^ (t[None] & fcw_ref[0])
 
     return kernel
@@ -278,11 +280,13 @@ def fast_tail_expand_pallas(
     """Batched tail walk + leaf PRG, one grid step per query.
 
     seeds (Q,8,16,NW0), t (Q,1,NW0), cw_s (Q,levels,8,16,1),
-    cw_tl/cw_tr (Q,levels) mask words, rk (Q,11,8,3,16,1),
-    fcw (Q,8,16,1), rk_leaf (Q,11,8,16,1)
+    cw_tl/cw_tr (Q,levels) mask words, rk (Q,11,8,3,16,1) — or
+    (11,8,3,16,1) shared across the batch — fcw (Q,8,16,1),
+    rk_leaf (Q,11,8,16,1) or (11,8,16,1)
     -> (Q,8,16,NW0 << levels) packed leaf-output words (storage order,
     same convention as dpf.device.fast_leaf_bits_flat pre-unpack).
     """
+    shared_rk = rk.ndim == 5
     q, _, _, nw0 = seeds.shape
     nwf = nw0 << levels
     lv = max(levels, 1)  # zero-size blocks are not allowed
@@ -295,8 +299,22 @@ def fast_tail_expand_pallas(
     # tiles and let the kernel broadcast.
     cw_tl = cw_tl.reshape(q, lv, 1, 1)
     cw_tr = cw_tr.reshape(q, lv, 1, 1)
+    rk_spec = (
+        pl.BlockSpec((11, 8, 3, 16, 1), lambda i: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if shared_rk else
+        pl.BlockSpec((1, 11, 8, 3, 16, 1), lambda i: (i, 0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    rkl_spec = (
+        pl.BlockSpec((11, 8, 16, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if shared_rk else
+        pl.BlockSpec((1, 11, 8, 16, 1), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
     return pl.pallas_call(
-        _tail_kernel(levels),
+        _tail_kernel(levels, shared_rk),
         grid=(q,),
         in_specs=[
             pl.BlockSpec((1, 8, 16, nw0), lambda i: (i, 0, 0, 0),
@@ -309,12 +327,10 @@ def fast_tail_expand_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lv, 1, 1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 11, 8, 3, 16, 1), lambda i: (i, 0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            rk_spec,
             pl.BlockSpec((1, 8, 16, 1), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 11, 8, 16, 1), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            rkl_spec,
         ],
         out_specs=pl.BlockSpec((1, 8, 16, nwf), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

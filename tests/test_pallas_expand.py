@@ -102,3 +102,37 @@ def test_pallas_batch_path_end_to_end():
     rec = outs[0] ^ outs[1]
     for k, i in enumerate(idxs):
         assert rec[k].tobytes() == db.data[i].tobytes(), (k, i)
+
+
+def test_pallas_batch_path_shared_prf_keys():
+    """Batch-keygen shares carry ONE set of PRF keys; the fused path then
+    expands round-key masks once for the whole batch (layout.shared_rk)
+    instead of per query — the per-query masks were the batch-4096 HBM
+    OOM. Must agree with the per-query-rk path bit-for-bit."""
+    from pir_tpu.dpf.device import scatter_rows_to_storage_order
+    from pir_tpu.ops.matmul_scan import pad_rows_u8
+
+    rng = random.Random(8)
+    db = generate_random_db(1 << 13, 8)
+    md = db.metadata()
+    idxs = [rng.randrange(db.db_size) for _ in range(4)]
+    sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
+
+    depth = sh[0][0].key_fast.depth
+    flat = 128 << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size)
+    tab = jnp.asarray(pad_rows_u8(
+        scatter_rows_to_storage_order(db.data, perm, flat), 512))
+
+    outs = []
+    for s in range(2):
+        pay, layout = make_fast_payload_batch([x[s] for x in sh])
+        assert layout.shared_rk  # batch keygen => one PRF key set
+        got = np.asarray(fused_fast_root_batch_pallas_fn(
+            layout, 512, 8, 1, True)(tab, pay))
+        want = np.asarray(fused_fast_root_batch_mxu_fn(layout, 512)(tab, pay))
+        assert (got == want).all(), s
+        outs.append(got)
+    rec = outs[0] ^ outs[1]
+    for k, i in enumerate(idxs):
+        assert rec[k].tobytes() == db.data[i].tobytes(), (k, i)
