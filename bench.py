@@ -127,7 +127,7 @@ def worker():
 
     height = int(os.environ.get("BENCH_HEIGHT", 1 << 20))
     slot_bytes = int(os.environ.get("BENCH_SLOT_BYTES", 1024))
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
 
