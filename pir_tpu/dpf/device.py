@@ -1172,3 +1172,113 @@ def expand_mp_full_domain_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
         jnp.asarray(seed_planes), jnp.asarray(present), jnp.asarray(rk_stack),
         jnp.asarray(ctr_masks), jnp.asarray(cw_par),
     )
+
+
+def _pack_lane_mask(flags: np.ndarray, nw: int) -> np.ndarray:
+    """(n,) bool -> (nw,) uint32 with bit j of word w = flags[32w+j]."""
+    padded = np.zeros(nw * 32, dtype=bool)
+    padded[: len(flags)] = flags
+    return (
+        padded.reshape(nw, 32).astype(np.uint32)
+        << np.arange(32, dtype=np.uint32)
+    ).sum(axis=1, dtype=np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mp_point_fn(p2: int, nw: int):
+    def fn(xp, rk4, ksel, bytesel, present, cwm):
+        # xp (8, p2, 16, NW); rk4 (4, 11, 8, 1, 16, 1); ksel/bytesel
+        # (4, NW); present/cwm (p2, NW). Per-lane round keys: the four
+        # fixed-key schedules, selected by the lane's one-hot ksel mask
+        # (disjoint, so OR composes them).
+        rk = rk4[0] & ksel[0]
+        for k in range(1, 4):
+            rk = rk | (rk4[k] & ksel[k])
+        out = aes_encrypt_planes(xp, rk) ^ xp  # MMO (dpf/common.go:60-75)
+        p0 = out[0]  # bit-0 planes, (p2, 16, NW)
+        # parity of little-endian u32 word (delta & 3) = bit 0 of byte
+        # 4*(delta & 3); per-lane word choice via one-hot byte masks
+        par = (
+            (p0[:, 0] & bytesel[0])
+            ^ (p0[:, 4] & bytesel[1])
+            ^ (p0[:, 8] & bytesel[2])
+            ^ (p0[:, 12] & bytesel[3])
+        )  # (p2, NW)
+        contrib = present & (par ^ cwm)  # zero-seed slots skip G AND cw
+        y = contrib[0]
+        for i in range(1, p2):
+            y = y ^ contrib[i]
+        return y  # (NW,) packed XOR-share parity bits
+
+    return jax.jit(fn)
+
+
+def eval_points_mp_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
+                        points) -> jnp.ndarray:
+    """Device MP eval at arbitrary points -> (len(points),) uint8 bit shares.
+
+    Bit-for-bit equal to ``(host.eval_points_mp(...) & 1) == 1`` (the MP
+    XOR-share selection convention, server.py). Where the host path
+    expands the full mu-word PRG stream per unique row gamma
+    (dpf/server.go:131 semantics), each point here needs only the ONE
+    16-byte PRG block containing output word delta: block b = delta // 4
+    of the CTR-extended MMO PRG is AES_{k_{b%4}}(seed ^ LE64(b//4)) ^
+    (seed ^ LE64(b//4)) (aes_host.prf_blocks), independent of all other
+    blocks. One bitsliced AES per sigma slot per 32 rows, with per-lane
+    round keys / output words selected by packed one-hot masks. This is
+    the serving path for keyword-based multi-party queries
+    (db.go:132-135 with >=3 servers), where the 2^32 domain rules out
+    full-domain expansion.
+    """
+    p2, mu, gamma_bits, delta_bits = dpf_host._mp_params(
+        server.num_bits, key.num_parties
+    )
+    pts = np.asarray(points, dtype=np.int64)
+    n = len(pts)
+    nw = -(-n // 32)
+    deltas = pts & ((1 << delta_bits) - 1)
+    gammas = (pts >> delta_bits) & ((1 << gamma_bits) - 1)
+    b = deltas >> 2  # output block holding word delta
+    kidx = b & 3  # fixed-key index (prf_blocks: ciphers[b % 4])
+    ctr = b >> 2  # counter block value (prf_blocks: b // 4)
+    widx = deltas & 3  # u32 word within the block
+
+    sigma_arr = np.frombuffer(b"".join(key.sigma), dtype=np.uint8).reshape(
+        1 << gamma_bits, p2, 16
+    )
+    seeds = sigma_arr[gammas]  # (n, p2, 16)
+    present_rows = seeds.any(axis=2)  # (n, p2)
+    x = seeds.copy()
+    x[:, :, :8] ^= ctr.astype("<u8").view(np.uint8).reshape(n, 8)[:, None, :]
+    xp = np.stack(
+        [blocks_to_planes(np.ascontiguousarray(x[:, i])) for i in range(p2)],
+        axis=1,
+    )  # (8, p2, 16, NW)
+
+    rk4 = np.stack(
+        [
+            key_masks(key_schedule(server.ciphers[i].key)[None])[..., 0][..., None]
+            for i in range(4)
+        ]
+    )[:, :, :, None]  # (4, 11, 8, 1, 16, 1)
+
+    ksel = np.stack([_pack_lane_mask(kidx == k, nw) for k in range(4)])
+    bytesel = np.stack([_pack_lane_mask(widx == k, nw) for k in range(4)])
+    present = np.stack(
+        [_pack_lane_mask(present_rows[:, i], nw) for i in range(p2)]
+    )
+    cwm = np.stack(
+        [
+            _pack_lane_mask(
+                (np.asarray(key.cw[i], dtype=np.uint32)[deltas] & 1) == 1, nw
+            )
+            for i in range(p2)
+        ]
+    )
+
+    fn = _mp_point_fn(p2, nw)
+    y = fn(
+        jnp.asarray(xp), jnp.asarray(rk4), jnp.asarray(ksel),
+        jnp.asarray(bytesel), jnp.asarray(present), jnp.asarray(cwm),
+    )
+    return _unpack_bits(y, n)[:n]

@@ -643,35 +643,57 @@ def eval_full_domain_fast_bits(dpf: Dpf, key: FastKey2P) -> np.ndarray:
 def eval_points_mp(dpf: Dpf, key: KeyMP, xs) -> np.ndarray:
     """Vectorized multi-party eval at many points (dpf/server.go:110-144).
 
-    Semantically identical to ``evaluate_mp`` per point but amortized:
-    points sharing a row gamma share one seed expansion, and ALL unique
-    rows expand in a single AES-NI ``prf_blocks`` dispatch instead of a
-    per-point Python loop. Returns (len(xs),) int64 of y values (the
-    caller derives XOR bit shares as ``y & 1``).
+    Semantically identical to ``evaluate_mp`` per point but amortized AND
+    block-sparse: output word ``delta`` of the CTR-extended MMO PRG
+    stream depends only on its own 16-byte block (``prf_blocks``: block
+    b = AES_{k_{b%4}}(seed ^ LE64(b//4)) ^ (seed ^ LE64(b//4)), with no
+    counter XOR for b < 4 where b//4 = 0 anyway), so only the unique
+    (gamma, block) pairs the points actually address are computed —
+    instead of the full mu-word stream per unique row, which for the
+    32-bit keyword domain is ~23k blocks/row. Returns (len(xs),) int64
+    of y values (the caller derives XOR bit shares as ``y & 1``).
     """
     p2, mu, gamma_bits, delta_bits = _mp_params(dpf.num_bits, key.num_parties)
     xs = np.asarray(xs, dtype=np.int64)
     deltas = xs & ((1 << delta_bits) - 1)
     gammas = (xs >> delta_bits) & ((1 << gamma_bits) - 1)
-    uniq, inv = np.unique(gammas, return_inverse=True)
+    blocks = deltas >> 2  # u32 word delta lives in 16-byte block delta//4
 
-    m_bytes = dpf.m * mu
-    num_blocks = -(-m_bytes // BLOCK_SIZE)
-    seeds = np.frombuffer(
-        b"".join(key.sigma[int(g)] for g in uniq), dtype=np.uint8
-    ).reshape(len(uniq), p2, BLOCK_SIZE)
-    present = seeds.any(axis=2)  # zero-seed slots skip G AND cw (go:127-136)
-    out = prf_blocks(seeds.reshape(-1, BLOCK_SIZE), dpf.ciphers, num_blocks)
-    words = (
-        out.reshape(len(uniq) * p2, -1)[:, :m_bytes]
-        .copy().view("<u4")[:, :mu].reshape(len(uniq), p2, mu)
+    num_blocks = -(-dpf.m * mu // BLOCK_SIZE)
+    code = gammas * num_blocks + blocks
+    uniq, inv = np.unique(code, return_inverse=True)
+    ug = uniq // num_blocks
+    ub = uniq % num_blocks
+
+    sigma_arr = np.frombuffer(b"".join(key.sigma), dtype=np.uint8).reshape(
+        -1, p2, BLOCK_SIZE
     )
-    cw = np.stack([np.asarray(key.cw[i][:mu], dtype=np.uint32)
-                   for i in range(p2)])
+    seeds = sigma_arr[ug]  # (m, p2, 16)
+    present = seeds.any(axis=2)  # zero-seed slots skip G AND cw (go:127-136)
+    xin = seeds.copy()
+    xin[:, :, :8] ^= (ub >> 2).astype("<u8").view(np.uint8).reshape(
+        -1, 8
+    )[:, None, :]
+    flat_x = xin.reshape(-1, BLOCK_SIZE)
+    flat_k = np.repeat(ub & 3, p2)  # fixed-key index: ciphers[b % 4]
+    out = np.empty_like(flat_x)
+    for k in range(4):
+        sel = flat_k == k
+        if sel.any():
+            out[sel] = dpf.ciphers[k].encrypt_blocks(flat_x[sel]) ^ flat_x[sel]
+    words = (
+        np.ascontiguousarray(out).view("<u4").reshape(len(uniq), p2, 4)
+    )  # the 4 u32 words of each computed block
+
+    w_pt = words[inv, :, deltas & 3]  # (n, p2)
+    cw_pt = np.stack(
+        [np.asarray(key.cw[i], dtype=np.uint32)[deltas] for i in range(p2)],
+        axis=1,
+    )  # (n, p2)
     y = np.bitwise_xor.reduce(
-        np.where(present[:, :, None], words ^ cw[None], np.uint32(0)), axis=1
-    )  # (n_uniq, mu)
-    return y[inv, deltas].astype(np.int64)
+        np.where(present[inv], w_pt ^ cw_pt, np.uint32(0)), axis=1
+    )
+    return y.astype(np.int64)
 
 
 def evaluate_mp(dpf: Dpf, key: KeyMP, x: int) -> int:

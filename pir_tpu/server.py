@@ -505,16 +505,19 @@ class TpuPirServer:
 
             return fused_fast_bits_fn(layout)(payload, self._fast_perm(dkey))
         if not query.is_two_party:
+            # bitsliced device eval of the sigma-slot PRG walk
+            # (dpf/server.go:110-144 semantics; dpf/device.py MP
+            # section) — no host expansion on the serving path
+            pf = _server_dpf(self.db, query)
             if not query.is_keyword_based:
-                # bitsliced device eval of the sigma-slot PRG walk
-                # (dpf/server.go:110-144 semantics; dpf/device.py MP
-                # section) — no host expansion on the serving path
-                pf = _server_dpf(self.db, query)
                 return dev.expand_mp_full_domain_bits(
                     pf, query.key_multi_party, h
                 )
-            # keyword MP queries evaluate at arbitrary points; host path
-            return expand_shared_query(self.db, query).astype(np.uint8)
+            # keyword MP: arbitrary-point device eval (one PRG block
+            # per sigma slot per row; db.go:132-135 with >=3 servers)
+            return dev.eval_points_mp_bits(
+                pf, query.key_multi_party, self.db.keywords[:h]
+            )
         pf = _server_dpf(self.db, query)
         if query.is_keyword_based:
             planes = self._kw_plane_table(query.group_size, h)

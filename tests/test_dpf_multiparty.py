@@ -164,3 +164,80 @@ def test_tpu_engine_answers_mp_queries_on_device():
             assert (eng_bits == host_bits).all()
         res = q.recover([engine.private_secret_shared_query(s) for s in shares])
         assert bytes(res[0].data) == db.data[idx].tobytes(), (n_servers, idx)
+
+
+def test_device_mp_point_eval_matches_host():
+    """Device arbitrary-point MP eval (one PRG block per sigma slot per
+    row) == host eval bit shares, across domains and party counts."""
+    import numpy as np
+
+    from pir_tpu.dpf import device as dev
+    from pir_tpu.dpf import host as dpf
+
+    rng = random.Random(31)
+    for num_parties, nb in ((3, 8), (4, 10), (3, 13), (5, 16)):
+        client = dpf.client_initialize(nb)
+        a = rng.randrange(1 << nb)
+        keys = dpf.generate_multi_server(client, a, 1, num_parties)
+        pts = np.array(
+            [rng.randrange(1 << nb) for _ in range(201)] + [a], dtype=np.int64
+        )
+        acc = np.zeros(len(pts), np.uint8)
+        for k in keys:
+            host_bits = ((dpf.eval_points_mp(client, k, pts) & 1) == 1)
+            dev_bits = np.asarray(dev.eval_points_mp_bits(client, k, pts))
+            assert (host_bits.astype(np.uint8) == dev_bits).all(), (
+                num_parties, nb)
+            acc ^= dev_bits
+        want = (pts == a).astype(np.uint8)
+        assert (acc == want).all(), (num_parties, nb)
+
+
+def test_block_sparse_eval_points_mp_keyword_domain():
+    """The block-sparse host eval on the full 32-bit keyword domain
+    (query.go:47-49 domain convention) agrees with the golden per-point
+    evaluate_mp and with the device point eval."""
+    import numpy as np
+
+    from pir_tpu.dpf import device as dev
+    from pir_tpu.dpf import host as dpf
+
+    rng = random.Random(92)
+    client = dpf.client_initialize(32)
+    kws = np.array(rng.sample(range(1 << 32), 128), dtype=np.int64)
+    target = int(kws[17])
+    keys = dpf.generate_multi_server(client, target, 1, 3)
+    acc = np.zeros(len(kws), np.uint8)
+    spots = rng.sample(range(len(kws)), 2) + [17]
+    for k in keys:
+        vals = dpf.eval_points_mp(client, k, kws)
+        for i in spots:  # golden per-point spot checks (full mu stream)
+            assert int(vals[i]) == dpf.evaluate_mp(client, k, int(kws[i]))
+        bits = np.asarray(dev.eval_points_mp_bits(client, k, kws))
+        assert (((vals & 1) == 1).astype(np.uint8) == bits).all()
+        acc ^= bits
+    assert list(np.flatnonzero(acc)) == [17]
+
+
+def test_tpu_engine_answers_keyword_mp_queries_on_device():
+    """TpuPirServer answers keyword-based >=3-party queries with the
+    device point eval (db.go:132-135 with multi-party shares)."""
+    import numpy as np
+
+    from pir_tpu import query as q
+    from pir_tpu import server as srv
+    from pir_tpu.database import generate_random_db
+
+    rng = random.Random(47)
+    db = generate_random_db(1 << 8, 6)
+    kws = np.array(rng.sample(range(1 << 32), db.db_size), dtype=np.uint64)
+    db.set_keywords(kws)
+    engine = srv.TpuPirServer(db)
+    row = rng.randrange(db.db_size)
+    shares = q.new_keyword_query_shares(db.metadata(), int(kws[row]), 1, 3)
+    for s in shares:
+        eng_bits = np.asarray(engine.expand_shared_query(s)).astype(bool)
+        host_bits = srv.expand_shared_query(db, s)
+        assert (eng_bits == host_bits).all()
+    res = q.recover([engine.private_secret_shared_query(s) for s in shares])
+    assert bytes(res[0].data) == db.data[row].tobytes(), row

@@ -258,3 +258,31 @@ def test_batch_mixed_shares_falls_back_per_share():
     finally:
         for s in services:
             s.close()
+
+
+def test_keyword_mp_over_tcp():
+    """Keyword-based DPF PIR with 3 non-colluding services over real
+    sockets (db.go:132-135 with multi-party shares): KeyMP wire formats
+    carry the 2^16-row sigma matrix of the 32-bit keyword domain."""
+    import random
+
+    import numpy as np
+
+    from pir_tpu.service import PirClient, PirService
+
+    rng = random.Random(83)
+    db = generate_random_db(1 << 7, 5)
+    db.set_keywords(
+        np.array(rng.sample(range(1 << 32), db.db_size), dtype=np.uint64)
+    )
+    services = [PirService(db).start() for _ in range(3)]
+    try:
+        client = PirClient([s.address for s in services])
+        for _ in range(2):
+            row = rng.randrange(db.db_size)
+            res = client.query_keyword_dpf(int(db.keywords[row]))
+            assert bytes(res[0].data) == db.data[row].tobytes(), row
+        client.close()
+    finally:
+        for s in services:
+            s.close()
