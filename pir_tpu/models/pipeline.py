@@ -111,6 +111,13 @@ def fused_answer_batch_fn(layout):
     return jax.jit(fn)
 
 
+# Largest query-axis extent a single packed-scan dispatch may carry:
+# the kernel's accumulator/output blocks scale with Q and blow the
+# 16 MB scoped-VMEM stack at Q = 8192 (measured); larger batches
+# are Q-sliced in fused_fast_root_batch_pallas_fn.
+_SCAN_Q_VMEM = 4096
+
+
 def scan_tile_sizes(q: int, rows: int, b: int,
                     max_br: int = 2048, max_bc: int = 512):
     """(block_rows, block_cols) for the Pallas batched scan.
@@ -403,16 +410,34 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
         flat = words.shape[1] * 32
         if rows > flat:  # zero bits for XOR-neutral padded table rows
             words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
-        br, bc = scan_tile_sizes(q, rows, b,
-                                 max_br=block_rows, max_bc=block_cols)
         # bits stay bit-packed all the way into the kernel: the (Q, flat)
         # byte matrix (8x the packed form; the HBM cap on batch > 1024 and
         # ~half the scan's HBM traffic) never materialises. Transposed so
         # queries sit in the lane dim (Mosaic block-shape rule).
-        return mxu_batched_scan_packed_pallas(
-            table_u8, words.T, block_rows=br, block_cols=bc,
-            interpret=interpret,
-        )
+        q_vmem = _SCAN_Q_VMEM
+        if q <= q_vmem:  # trace identical to pre-slicing code: the
+            # cached executables for the q <= 4096 shapes stay valid
+            br, bc = scan_tile_sizes(q, rows, b,
+                                     max_br=block_rows, max_bc=block_cols)
+            return mxu_batched_scan_packed_pallas(
+                table_u8, words.T, block_rows=br, block_cols=bc,
+                interpret=interpret,
+            )
+        # The scan's accumulator/output blocks scale with Q, so batches
+        # beyond 4096 run in Q-slices (the kernel's scoped-VMEM stack
+        # exceeds the 16 MB limit at Q = 8192); the extra table passes
+        # cost ~nothing — total HBM traffic here is ~2 GiB against a
+        # ~0.5 s batch, two orders of magnitude under the HBM roof.
+        outs = []
+        for s in range(0, q, q_vmem):
+            wc = words[s:s + q_vmem]
+            br, bc = scan_tile_sizes(wc.shape[0], rows, b,
+                                     max_br=block_rows, max_bc=block_cols)
+            outs.append(mxu_batched_scan_packed_pallas(
+                table_u8, wc.T, block_rows=br, block_cols=bc,
+                interpret=interpret,
+            ))
+        return jnp.concatenate(outs, axis=0)
 
     return jax.jit(fn)
 
