@@ -354,6 +354,38 @@ def worker():
             log(f"multi-party (3-server) TPU check ({mh}x{msb}B): "
                 f"2/2 recoveries OK ({time.perf_counter()-t0:.1f}s incl. compile)")
 
+            # keyword MULTI-PARTY: the arbitrary-point device eval
+            # (one PRG block per sigma slot per row) compiled on chip
+            t0 = time.perf_counter()
+            kwmp = int(kdb.keywords[int(rng.integers(0, kh))])
+            kmpsh = q.new_keyword_query_shares(kmd, kwmp, 1, 3)
+            kmpres = q.recover([
+                kserver.private_secret_shared_query(s) for s in kmpsh
+            ])
+            krow = rows[kwmp]
+            assert Slot(kdb.data[krow].tobytes()).equal(kmpres[0]), \
+                "keyword-MP recovery mismatch"
+            log(f"keyword multi-party (3-server) TPU check: 1/1 OK "
+                f"({time.perf_counter()-t0:.1f}s incl. compile)")
+
+            # mesh serving engine on a 1-device mesh: the shard_map'd
+            # sharded step executes on the real chip
+            from pir_tpu.parallel.mesh import MeshPirServer
+
+            t0 = time.perf_counter()
+            eng = MeshPirServer(mdb, tp=1, dp=1)
+            midx = int(rng.integers(0, mh))
+            msh2 = q.new_index_query_shares_batch(mmd, [midx], 1, 2,
+                                                  fast=True)[0]
+            mres2 = q.recover([
+                eng.private_secret_shared_query_batch([msh2[0]])[0],
+                eng.private_secret_shared_query_batch([msh2[1]])[0],
+            ])
+            assert Slot(mdb.data[midx].tobytes()).equal(mres2[0]), \
+                "mesh-engine recovery mismatch"
+            log(f"mesh-engine (1-device shard_map) TPU check: 1/1 OK "
+                f"({time.perf_counter()-t0:.1f}s incl. compile)")
+
         try:
             retry(cover, "keyword/MP TPU coverage", tries=2)
         except Exception as e:

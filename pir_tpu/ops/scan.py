@@ -52,5 +52,9 @@ def pack_table_u32(data: np.ndarray, height: int, group_size: int) -> np.ndarray
 def unpack_result_u32(res: np.ndarray, group_size: int, slot_bytes: int) -> np.ndarray:
     """(G*words,) uint32 -> (G, slot_bytes) uint8."""
     words = max(1, -(-slot_bytes // 4))
-    b = np.asarray(res, dtype="<u4").reshape(group_size, words).view(np.uint8)
+    # ascontiguousarray: some backends (the axon relay) hand back host
+    # views with a strided minor axis, on which .view() would raise
+    b = np.ascontiguousarray(
+        np.asarray(res, dtype="<u4").reshape(group_size, words)
+    ).view(np.uint8)
     return b.reshape(group_size, words * 4)[:, :slot_bytes]
