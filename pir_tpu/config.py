@@ -45,10 +45,15 @@ def default_cache_dir() -> str:
     ships pre-warmed entries for the bench shapes, surviving /tmp wipes),
     falling back to /tmp when the package is installed read-only.
 
-    NOTE on key stability: Mosaic kernel serialization depends on the
-    order of prior Pallas lowerings in the process, so entries only hit
-    in processes that jit the same shapes in the same order (bench.py
-    keeps its phase order fixed for exactly this reason)."""
+    NOTE on key stability: with stabilize_pallas_cache_keys() active,
+    cache keys were measured (r3) to be independent of the order and set
+    of prior Pallas lowerings in the process — any program that reaches
+    the same jit shape hits the same entry. The remaining dependence is
+    the cache directory's own ABSOLUTE PATH: JAX embeds it in
+    compile_options (debug_options.xla_gpu_per_fusion_autotune_cache_dir),
+    which is hashed into the key, so shipped entries only hit when the
+    cache dir resolves to the same absolute path they were written under
+    (here: <repo>/.xla_cache)."""
     import os
 
     env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
