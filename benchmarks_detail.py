@@ -61,6 +61,17 @@ def main():
     out["shared_query_native_fast_s"] = round(
         timeit(lambda: native.private_secret_shared_query(fshare)), 5)
 
+    # --- keyword multi-party (3-server) query, 32-bit domain ---
+    kwdb = generate_random_db(1 << 14, 8)
+    kwdb.set_keywords(
+        np.random.default_rng(7).choice(1 << 32, size=kwdb.db_size,
+                                        replace=False).astype(np.uint64))
+    kwn = NativePirServer(kwdb)
+    mpsh = q.new_keyword_query_shares(kwdb.metadata(),
+                                      int(kwdb.keywords[99]), 1, 3)[0]
+    out["keyword_mp_query_native_s"] = round(
+        timeit(lambda: kwn.private_secret_shared_query(mpsh), 3), 4)
+
     # --- query generation (db_test.go:327-353) ---
     out["querygen_compat_s"] = round(
         timeit(lambda: q.new_index_query_shares(md, 7, 1, 2)), 4)
