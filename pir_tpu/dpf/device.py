@@ -1134,19 +1134,14 @@ def expand_mp_full_domain_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
     # presence: zero seeds skip G and CW (dpf/server.go:127-136). Packed
     # per-lane 1-bits (the parity planes are bit-packed the same way, so
     # a plain & masks out absent slots).
-    present_bits = seeds.any(axis=2).astype(np.uint32)  # (n_gamma, p2)
-    pad = nwg * 32 - n_gamma
-    if pad:
-        present_bits = np.pad(present_bits, ((0, pad), (0, 0)))
-    packed = (present_bits.reshape(nwg, 32, p2)
-              * (np.uint32(1) << np.arange(32, dtype=np.uint32))[None, :, None]
-              ).sum(axis=1, dtype=np.uint32)  # (NWg, p2)
-    present = np.ascontiguousarray(packed.T)[:, None, :]  # (p2, 1, NWg)
+    present_flags = seeds.any(axis=2)  # (n_gamma, p2)
+    present = np.stack(
+        [_pack_lane_mask(present_flags[:, i], nwg) for i in range(p2)]
+    )[:, None, :]  # (p2, 1, NWg)
 
     num_blocks = -(-server.m * mu // 16)
     # round keys per output block: fixed key i%4 (prf_blocks extension)
-    rk4 = [key_masks(key_schedule(server.ciphers[i].key)[None])[..., 0][..., None]
-           for i in range(4)]  # each (11, 8, 16, 1)
+    rk4 = _mp_fixed_rk4(server)
     rk_stack = np.stack([rk4[b % 4] for b in range(num_blocks)])[:, :, :, None]
     # -> (num_blocks, 11, 8, 1, 16, 1)
 
@@ -1172,6 +1167,15 @@ def expand_mp_full_domain_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
         jnp.asarray(seed_planes), jnp.asarray(present), jnp.asarray(rk_stack),
         jnp.asarray(ctr_masks), jnp.asarray(cw_par),
     )
+
+
+def _mp_fixed_rk4(server: "dpf_host.Dpf") -> list[np.ndarray]:
+    """Bitsliced round-key masks of the four fixed MP PRG keys
+    (prf_blocks: ciphers[b % 4]); each (11, 8, 16, 1)."""
+    return [
+        key_masks(key_schedule(server.ciphers[i].key)[None])[..., 0][..., None]
+        for i in range(4)
+    ]
 
 
 def _pack_lane_mask(flags: np.ndarray, nw: int) -> np.ndarray:
@@ -1255,12 +1259,7 @@ def eval_points_mp_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
         axis=1,
     )  # (8, p2, 16, NW)
 
-    rk4 = np.stack(
-        [
-            key_masks(key_schedule(server.ciphers[i].key)[None])[..., 0][..., None]
-            for i in range(4)
-        ]
-    )[:, :, :, None]  # (4, 11, 8, 1, 16, 1)
+    rk4 = np.stack(_mp_fixed_rk4(server))[:, :, :, None]  # (4, 11, 8, 1, 16, 1)
 
     ksel = np.stack([_pack_lane_mask(kidx == k, nw) for k in range(4)])
     bytesel = np.stack([_pack_lane_mask(widx == k, nw) for k in range(4)])

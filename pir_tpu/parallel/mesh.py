@@ -435,10 +435,14 @@ class MeshPirServer:
         if not uniform or not self._mesh_applicable(q0):
             return [srv.private_secret_shared_query(self.db, q)
                     for q in queries]
-        # dp requires Q % dp == 0: pad by repeating (padding sliced off)
+        # dp requires Q % dp == 0: pad by repeating (padding sliced off).
+        # The batch may be smaller than the pad needed (n=1, dp=3), so
+        # tile the whole batch as many times as it takes.
         n = len(queries)
         if n % self.dp:
-            queries = list(queries) + list(queries[: self.dp - n % self.dp])
+            target = n + self.dp - n % self.dp
+            reps = -(-target // n)
+            queries = (list(queries) * reps)[:target]
         if q0.key_fast is not None:
             return self._answer_batch_fast(queries)[:n]
         return self._answer_batch_compat(queries)[:n]

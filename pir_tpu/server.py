@@ -190,7 +190,8 @@ class TpuPirServer:
                  compat_pallas_w: int = 128,
                  compat_pallas_max_tail: int = 3,
                  compat_pallas_q_chunk: int = 16,
-                 compat_pallas_batch_cap: int = 1024):
+                 compat_pallas_batch_cap: int = 1024,
+                 fast_nonshared_chunk: int = 1024):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
@@ -221,6 +222,12 @@ class TpuPirServer:
         # query than fast mode; large vmapped batches OOM, so compat
         # batches run in chunks of this size.
         self.compat_batch_chunk = compat_batch_chunk
+        # a fast batch whose shares carry DISTINCT PRF keys (multi-tenant
+        # serving) expands per-query round-key masks (~2 MiB/query under
+        # (8,128) tiling) — 8+ GiB at batch 4096 — so such batches run in
+        # chunks of this size; same-key batches (batch keygen) share one
+        # mask expansion and run whole.
+        self.fast_nonshared_chunk = fast_nonshared_chunk
         self._plane_tables: dict[int, object] = {}
         self._storage_cache: dict[tuple, tuple] = {}
         self._tables: dict[int, tuple] = {}
@@ -714,6 +721,25 @@ class TpuPirServer:
 
         g = queries[0].group_size
         depth = queries[0].key_fast.depth
+        cap = self.fast_nonshared_chunk
+        if len(queries) > cap:
+            prf0 = tuple(bytes(k.bytes) for k in queries[0].prf_keys)
+            if any(tuple(bytes(k.bytes) for k in s.prf_keys) != prf0
+                   for s in queries):
+                # distinct-key (multi-tenant) batch: per-query round-key
+                # masks OOM HBM at large Q — chunk, padding the tail to
+                # keep one compiled shape, and concatenate on device
+                import jax.numpy as jnp
+
+                outs = []
+                for s0 in range(0, len(queries), cap):
+                    part = queries[s0:s0 + cap]
+                    take = len(part)
+                    if take < cap:
+                        reps = -(-cap // take)
+                        part = (part * reps)[:cap]
+                    outs.append(self._dispatch_fast_root(part)[:take])
+                return jnp.concatenate(outs, axis=0)
         pay, root_layout = make_fast_payload_batch(queries)
         import jax
 
@@ -798,7 +824,8 @@ class TpuPirServer:
                     for s0 in starts:  # dispatch all chunks (async)
                         part = queries[s0:s0 + chunk]
                         if len(part) < chunk:  # keep one compiled shape
-                            part = part + part[: chunk - len(part)]
+                            reps = -(-chunk // len(part))
+                            part = (part * reps)[:chunk]
                         pay, lo = make_compat_payload_batch(part, height=h)
                         outs.append(fused_compat_root_batch_fn(lo)(planes, pay))
                     results = []
@@ -822,7 +849,8 @@ class TpuPirServer:
                 part = queries[s0:s0 + chunk]
                 take = len(part)
                 if take < chunk:
-                    part = part + part[: chunk - take]
+                    reps = -(-chunk // take)
+                    part = (part * reps)[:chunk]
                 results.extend(
                     self.private_secret_shared_query_batch(part)[:take]
                 )

@@ -117,6 +117,7 @@ class PirService:
         self._chal_next = 1
         self._audit_cond = threading.Condition()
         self._audit_book: dict[int, dict] = {}  # nonce -> {shares, expected, verdict}
+        self._audit_dead: dict[int, float] = {}  # timed-out nonce -> expiry
         # with no explicit config the service answers on the host engine;
         # engine="auto" (or use_tpu) opts into accelerator dispatch
         self.config = (config or PirConfig(engine="host")).validate()
@@ -260,6 +261,16 @@ class PirService:
 
         deadline = time.monotonic() + self.audit_timeout
         with self._audit_cond:
+            # a share arriving after a co-waiter already timed this nonce
+            # out would open a fresh book no one else will ever join —
+            # fail it fast instead of stalling a second full timeout
+            now = time.monotonic()
+            self._audit_dead = {k: v for k, v in self._audit_dead.items()
+                                if v > now}
+            if nonce in self._audit_dead:
+                raise TimeoutError(
+                    "audit incomplete: rendezvous already timed out"
+                )
             book = self._audit_book.setdefault(
                 nonce, {"shares": [], "verdict": None, "readers": 0}
             )
@@ -276,6 +287,9 @@ class PirService:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     self._audit_book.pop(nonce, None)
+                    self._audit_dead[nonce] = (
+                        time.monotonic() + 2 * self.audit_timeout
+                    )
                     raise TimeoutError(
                         "audit incomplete: not all servers submitted shares"
                     )
@@ -700,7 +714,12 @@ class PirClient:
                 resps.append(_recv_frame(sock))
         errors = [p.decode() for op, p in resps if op == OP_ERROR]
         if errors:
-            raise PermissionError(errors[0])
+            # only an actual audit refusal is an authentication failure;
+            # timeouts / internal faults must not read as "wrong key"
+            refusals = [e for e in errors if e.startswith("audit failed")]
+            if refusals:
+                raise PermissionError(refusals[0])
+            raise RuntimeError(errors[0])
         return recover([wire.deserialize_shared_result(p) for _, p in resps])
 
     def fetch_audit_shares(self, index: int, auth_key, group_size: int = 1,

@@ -238,3 +238,25 @@ def test_aspir_wire_roundtrips(paillier_keys):
     assert p2.p.commitments == proof.p.commitments
     assert p2.p.responses == proof.p.responses
     assert p2.p.secparam == proof.p.secparam
+
+
+def test_audit_rendezvous_timeout_tombstone():
+    """A share arriving after its rendezvous already timed out must fail
+    fast (review r3: it used to open a fresh orphan book and stall a
+    second full audit_timeout)."""
+    import time
+
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.service import PirService
+
+    svc = PirService(generate_random_db(8, 4), audit_timeout=0.2)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        svc._audit_verdict(nonce=42, expected=2, share_bytes=b"\x01\x02")
+    assert 0.15 < time.monotonic() - t0 < 2.0
+    # the late co-waiter's share: immediate failure, no fresh book
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        svc._audit_verdict(nonce=42, expected=2, share_bytes=b"\x01\x02")
+    assert time.monotonic() - t0 < 0.1
+    assert 42 not in svc._audit_book

@@ -79,3 +79,49 @@ def test_recover_three_shares():
     c = SecretSharedQueryResult(2, [Slot(b"\x11\x22")])
     out = recover([a, b, c])
     assert bytes(out[0].data) == b"\x00\x00"
+
+
+def test_fast_batch_distinct_keys_chunks():
+    """A large fast-mode batch whose shares carry DISTINCT PRF keys
+    (multi-tenant serving) must chunk its per-query round-key mask
+    expansion instead of materialising it whole (review r3: the
+    unchunked form OOMs HBM at batch 4096). Exercised with a tiny chunk
+    so the pad-tail + device-concat path runs."""
+    from pir_tpu.server import TpuPirServer
+
+    height = 1 << 12  # depth >= 5 so the root-start fast path applies
+    db = generate_random_db(height, 8)
+    eng = TpuPirServer(db, fast_nonshared_chunk=4)
+    rng = np.random.default_rng(3)
+    idxs = [int(i) for i in rng.integers(0, height, size=10)]
+    # one keygen per query -> independent PRF keys per share
+    share_lists = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+                   for i in idxs]
+    for server_num in (0, 1):
+        batch = [sl[server_num] for sl in share_lists]
+        got = eng.private_secret_shared_query_batch(batch)
+        assert len(got) == len(batch)
+        for sl, res in zip(share_lists, got):
+            want = srv.private_secret_shared_query(db, sl[server_num])
+            assert res.shares[0].equal(want.shares[0])
+
+
+def test_compat_batch_tail_pad_is_full_chunk():
+    """Tail chunks smaller than half the chunk size must still pad to
+    the full chunk (review r3: `part + part[:chunk-len]` under-padded,
+    compiling a fresh jit shape per odd batch size)."""
+    from pir_tpu.server import TpuPirServer
+
+    height = 256
+    db = generate_random_db(height, 6)
+    eng = TpuPirServer(db, compat_batch_chunk=8, mxu_batch_threshold=4)
+    rng = np.random.default_rng(5)
+    idxs = [int(i) for i in rng.integers(0, height, size=10)]  # 10 = 8 + 2
+    share_lists = [q.new_index_query_shares(db.metadata(), i, 1, 2)
+                   for i in idxs]
+    batch = [sl[0] for sl in share_lists]
+    got = eng.private_secret_shared_query_batch(batch)
+    assert len(got) == len(batch)
+    for sl, res in zip(share_lists, got):
+        want = srv.private_secret_shared_query(db, sl[0])
+        assert res.shares[0].equal(want.shares[0])

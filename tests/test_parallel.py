@@ -205,3 +205,19 @@ def test_mesh_engine_aspir_audit_over_tcp():
     finally:
         leader.close()
         peer.close()
+
+
+def test_mesh_single_query_dp3():
+    """dp=3 with a single query: the dp pad must tile the batch up to a
+    multiple of dp (review r3: the old pad could only append n elements,
+    so n=1, dp=3 crashed the shard_map with a non-divisible Q axis)."""
+    from pir_tpu.parallel.mesh import MeshPirServer
+
+    height = 1024
+    db = generate_random_db(height, 12)
+    eng = MeshPirServer(db, tp=1, dp=3)
+    idx = 137
+    shares = q.new_index_query_shares(db.metadata(), idx, 1, 2)
+    got = eng.private_secret_shared_query(shares[0])
+    want = srv.private_secret_shared_query(db, shares[0])
+    assert got.shares[0].equal(want.shares[0])
