@@ -92,20 +92,43 @@ class Database(DBMetadata):
     # ---- persistence (checkpoint/resume; the reference rebuilds the DB
     # in memory each run, SURVEY.md §5) ----
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, mmap_capable: bool = False) -> None:
+        """Checkpoint to `path`(.npz). With mmap_capable=True the row
+        data is written as a raw sibling `.data.npy` that
+        ``load(..., mmap=True)`` memory-maps instead of reading — multi-
+        GiB tables restore without a host-RAM copy (the engines upload
+        straight from the map)."""
+        if mmap_capable:
+            np.save(self._data_path(path), np.ascontiguousarray(self.data))
+            data = np.zeros((0, 0), dtype=np.uint8)
+        else:
+            data = self.data
         np.savez_compressed(
             path,
-            data=self.data,
+            data=data,
             keywords=self.keywords if self.keywords is not None else np.zeros(0),
             meta=np.array([self.slot_bytes, self.db_size], dtype=np.int64),
+            out_of_line=np.array([mmap_capable]),
         )
 
     @staticmethod
-    def load(path: str) -> "Database":
+    def _data_path(path: str) -> str:
+        base = path[:-4] if path.endswith(".npz") else path
+        return base + ".data.npy"
+
+    @staticmethod
+    def load(path: str, *, mmap: bool = False) -> "Database":
+        """Restore a checkpoint. mmap=True maps an mmap_capable
+        checkpoint's row data read-only (rebuild the Database to
+        mutate); it is ignored for in-line checkpoints."""
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         slot_bytes, db_size = (int(x) for x in z["meta"])
         db = Database(slot_bytes=slot_bytes, db_size=db_size)
-        db.data = z["data"]
+        if "out_of_line" in z.files and bool(z["out_of_line"][0]):
+            db.data = np.load(Database._data_path(path),
+                              mmap_mode="r" if mmap else None)
+        else:
+            db.data = z["data"]
         kw = z["keywords"]
         if kw.size:
             db.keywords = kw.astype(np.uint64)

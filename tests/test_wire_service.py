@@ -134,6 +134,31 @@ def test_database_save_load(tmp_path):
     assert (db2.keywords == db.keywords).all()
 
 
+def test_database_save_load_mmap(tmp_path):
+    """mmap_capable checkpoints restore via a read-only memory map (big
+    tables resume without a host-RAM copy) and answer queries."""
+    import numpy as np
+
+    from pir_tpu import query as q
+    from pir_tpu import server as srv
+    from pir_tpu.database import Database
+
+    db = generate_random_db(256, 9)
+    p = str(tmp_path / "big.npz")
+    db.save(p, mmap_capable=True)
+    assert (tmp_path / "big.data.npy").exists()
+    db2 = Database.load(p, mmap=True)
+    assert isinstance(db2.data, np.memmap)
+    assert (np.asarray(db2.data) == db.data).all()
+    shares = q.new_index_query_shares(db2.metadata(), 42, 1, 2)
+    res = q.recover([srv.private_secret_shared_query(db2, s) for s in shares])
+    assert db.slot(42).equal(res[0])
+    # non-mmap load of the same checkpoint materialises the data
+    db3 = Database.load(p)
+    assert not isinstance(db3.data, np.memmap)
+    assert (db3.data == db.data).all()
+
+
 def test_service_batch_endpoint():
     rng = random.Random(2)
     db = generate_random_db(1 << 10, 6)
@@ -286,3 +311,37 @@ def test_keyword_mp_over_tcp():
     finally:
         for s in services:
             s.close()
+
+
+def test_service_malformed_frames_keep_connection():
+    """Unknown opcodes and garbage payloads must come back as OP_ERROR
+    frames on a connection that keeps serving (a malformed client must
+    not wedge or crash the service thread)."""
+    import socket as _socket
+
+    from pir_tpu.service import (
+        OP_ERROR,
+        OP_METADATA,
+        OP_QUERY,
+        _recv_frame,
+        _send_frame,
+    )
+
+    db = generate_random_db(64, 4)
+    s = PirService(db).start()
+    try:
+        sock = _socket.create_connection(s.address)
+        try:
+            _send_frame(sock, 250, b"junk")  # unknown opcode
+            op, _ = _recv_frame(sock)
+            assert op == OP_ERROR
+            _send_frame(sock, OP_QUERY, b"\x07garbage-not-a-share")
+            op, _ = _recv_frame(sock)
+            assert op == OP_ERROR
+            _send_frame(sock, OP_METADATA, b"")  # still alive
+            op, _ = _recv_frame(sock)
+            assert op == OP_METADATA
+        finally:
+            sock.close()
+    finally:
+        s.close()
