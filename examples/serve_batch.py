@@ -9,7 +9,7 @@ Demonstrates the pipeline bench.py measures on real hardware:
   * bit-for-bit recovery checks against ground truth.
 
 Runs on CPU with a small table (use_pallas stays off automatically); on
-a TPU host the same code serves ~6.7 TB/s effective scan on a 1 GiB
+a TPU host the same code serves ~7.8 TB/s effective scan on a 1 GiB
 table (docs/PERFORMANCE.md). Usage: python examples/serve_batch.py
 """
 
