@@ -638,22 +638,30 @@ def _u32_view(a: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a).view("<u4")
 
 
-def make_fast_payload_batch(shares) -> tuple[np.ndarray, FastRootLayout]:
+def make_fast_payload_batch(
+    shares, shared_rk: bool | None = None
+) -> tuple[np.ndarray, FastRootLayout]:
     """Vectorised bit-packed payload builder for fast-mode query shares.
 
     All per-query host work is numpy over the whole batch; key material
     ships packed (see FastRootLayout) and mask expansion plus the whole
     tree walk happen on device (expand_planes_from_root).
+
+    shared_rk=None detects whether every share carries the same PRF
+    keys; callers that already know (or must force the non-shared
+    layout, e.g. a chunk tail padded by tiling one query) pass it in so
+    the compiled-shape choice never flips on padding artifacts.
     """
     from .aes_host import key_schedule_batch
 
     q_n = len(shares)
     k0 = shares[0].key_fast
     depth, height = k0.depth, k0.height
-    prf0 = tuple(bytes(k.bytes) for k in shares[0].prf_keys)
-    shared_rk = all(
-        tuple(bytes(k.bytes) for k in s.prf_keys) == prf0 for s in shares
-    )
+    if shared_rk is None:
+        prf0 = tuple(bytes(k.bytes) for k in shares[0].prf_keys)
+        shared_rk = all(
+            tuple(bytes(k.bytes) for k in s.prf_keys) == prf0 for s in shares
+        )
     layout = FastRootLayout(depth, height, shared_rk)
     _full = np.uint32(0xFFFFFFFF)
 

@@ -440,9 +440,9 @@ class MeshPirServer:
         # tile the whole batch as many times as it takes.
         n = len(queries)
         if n % self.dp:
-            target = n + self.dp - n % self.dp
-            reps = -(-target // n)
-            queries = (list(queries) * reps)[:target]
+            from ..utils import pad_tile
+
+            queries = pad_tile(queries, n + self.dp - n % self.dp)
         if q0.key_fast is not None:
             return self._answer_batch_fast(queries)[:n]
         return self._answer_batch_compat(queries)[:n]

@@ -23,6 +23,7 @@ from .database import Database
 from .dpf import host as dpf_host
 from .query import QueryShare, SecretSharedQueryResult
 from .slot import Slot
+from .utils import pad_tile
 
 
 _MISS = object()  # cache-miss sentinel (None is a legitimate cached value)
@@ -689,8 +690,7 @@ class TpuPirServer:
             while target < take:
                 target *= 2
             if len(part) < target:  # pad by repeating (results sliced off)
-                reps = -(-target // len(part))
-                part = (part * reps)[:target]
+                part = pad_tile(part, target)
             pay, lo = make_compat_payload_batch(part, height=h)
             fn = fused_compat_root_batch_pallas_fn(
                 lo, w=w, max_tail=mt, q_chunk=qc, interpret=not on_tpu
@@ -705,7 +705,25 @@ class TpuPirServer:
         out = np.concatenate(parts) if len(parts) > 1 else parts[0]
         return self._slice_batch_results(out, group_size, n)
 
-    def _dispatch_fast_root(self, queries: list[QueryShare]):
+    @staticmethod
+    def _batch_shares_prf_keys(queries: list[QueryShare]) -> bool:
+        """True when every share carries the same PRF keys. The batch
+        keygen hands every share the SAME key list object, so the common
+        single-client case is O(Q) identity checks; byte comparison only
+        runs for shares from distinct keygens."""
+        p0 = queries[0].prf_keys
+        sig0 = None
+        for s in queries[1:]:
+            if s.prf_keys is p0:
+                continue
+            if sig0 is None:
+                sig0 = tuple(bytes(k.bytes) for k in p0)
+            if tuple(bytes(k.bytes) for k in s.prf_keys) != sig0:
+                return False
+        return True
+
+    def _dispatch_fast_root(self, queries: list[QueryShare],
+                            shared_rk: bool | None = None):
         """Dispatch a uniform fast-mode batch through a root-start path;
         returns the (Q, row_bytes) uint8 device array (async — not yet
         fetched). The whole tree expands on device and the host payload
@@ -722,25 +740,28 @@ class TpuPirServer:
         g = queries[0].group_size
         depth = queries[0].key_fast.depth
         cap = self.fast_nonshared_chunk
-        if len(queries) > cap:
-            prf0 = tuple(bytes(k.bytes) for k in queries[0].prf_keys)
-            if any(tuple(bytes(k.bytes) for k in s.prf_keys) != prf0
-                   for s in queries):
-                # distinct-key (multi-tenant) batch: per-query round-key
-                # masks OOM HBM at large Q — chunk, padding the tail to
-                # keep one compiled shape, and concatenate on device
-                import jax.numpy as jnp
+        if shared_rk is None:
+            shared_rk = self._batch_shares_prf_keys(queries)
+        if not shared_rk and len(queries) > cap:
+            # distinct-key (multi-tenant) batch: per-query round-key
+            # masks OOM HBM at large Q — chunk, padding the tail to
+            # keep one compiled shape, and concatenate on device.
+            # shared_rk=False is forced on every chunk: a tail tiled
+            # from few (or one) queries would otherwise flip the layout
+            # to the shared one and compile a fresh shape mid-serving.
+            import jax.numpy as jnp
 
-                outs = []
-                for s0 in range(0, len(queries), cap):
-                    part = queries[s0:s0 + cap]
-                    take = len(part)
-                    if take < cap:
-                        reps = -(-cap // take)
-                        part = (part * reps)[:cap]
-                    outs.append(self._dispatch_fast_root(part)[:take])
-                return jnp.concatenate(outs, axis=0)
-        pay, root_layout = make_fast_payload_batch(queries)
+            outs = []
+            for s0 in range(0, len(queries), cap):
+                part = queries[s0:s0 + cap]
+                take = len(part)
+                if take < cap:
+                    part = pad_tile(part, cap)
+                outs.append(
+                    self._dispatch_fast_root(part, shared_rk=False)[:take]
+                )
+            return jnp.concatenate(outs, axis=0)
+        pay, root_layout = make_fast_payload_batch(queries, shared_rk=shared_rk)
         import jax
 
         on_tpu = jax.default_backend() == "tpu"
@@ -824,8 +845,7 @@ class TpuPirServer:
                     for s0 in starts:  # dispatch all chunks (async)
                         part = queries[s0:s0 + chunk]
                         if len(part) < chunk:  # keep one compiled shape
-                            reps = -(-chunk // len(part))
-                            part = (part * reps)[:chunk]
+                            part = pad_tile(part, chunk)
                         pay, lo = make_compat_payload_batch(part, height=h)
                         outs.append(fused_compat_root_batch_fn(lo)(planes, pay))
                     results = []
@@ -849,8 +869,7 @@ class TpuPirServer:
                 part = queries[s0:s0 + chunk]
                 take = len(part)
                 if take < chunk:
-                    reps = -(-chunk // take)
-                    part = (part * reps)[:chunk]
+                    part = pad_tile(part, chunk)
                 results.extend(
                     self.private_secret_shared_query_batch(part)[:take]
                 )

@@ -54,6 +54,9 @@ OP_ASPIR_AUDIT = 12
 # work, keyword.go:14-16)
 OP_BST_META = 13
 OP_BST_LEVEL = 14
+# a protocol-level REFUSAL (failed ASPIR audit/authentication), distinct
+# from OP_ERROR so clients never have to classify by error text
+OP_DENIED = 254
 OP_ERROR = 255
 
 
@@ -71,8 +74,15 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return bytes(buf)
 
 
+_MAX_FRAME = 1 << 30  # framing sanity bound, far above any real payload
+
+
 def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
     (length,) = struct.unpack("<I", _recv_exact(sock, 4))
+    if length == 0 or length > _MAX_FRAME:
+        # framing violation (no opcode byte / absurd length): orderly
+        # close instead of IndexError/OOM escaping the handler
+        raise struct.error(f"invalid frame length {length}")
     data = _recv_exact(sock, length)
     return data[0], data[1:]
 
@@ -154,6 +164,8 @@ class PirService:
                         return
                     try:
                         resp_op, resp = service._dispatch(opcode, payload)
+                    except PermissionError as e:  # authentication refusal
+                        resp_op, resp = OP_DENIED, str(e).encode()
                     except Exception as e:  # report errors to the client
                         resp_op, resp = OP_ERROR, str(e).encode()
                     _send_frame(self.request, resp_op, resp)
@@ -256,7 +268,12 @@ class PirService:
     def _audit_verdict(self, nonce: int, expected: int, share_bytes: bytes) -> int:
         """Audit-leader rendezvous: collect `expected` audit shares for
         `nonce`; verdict = 1 iff they XOR to zero (aspir.go:281-295).
-        Every submitting party blocks until the verdict is known."""
+        Every submitting party blocks until the verdict is known.
+
+        A nonce whose rendezvous timed out is tombstoned for
+        2*audit_timeout so a straggler fails fast instead of opening an
+        orphan book; retries of a timed-out audit must therefore use a
+        FRESH nonce (PirClient draws one per query)."""
         import time
 
         deadline = time.monotonic() + self.audit_timeout
@@ -496,6 +513,8 @@ class PirClient:
             sock = self._socks[sock_idx]
             _send_frame(sock, opcode, payload)
             op, resp = _recv_frame(sock)
+        if op == OP_DENIED:
+            raise PermissionError(resp.decode())
         if op == OP_ERROR:
             raise RuntimeError(resp.decode())
         if op != opcode:
@@ -525,6 +544,8 @@ class PirClient:
                 _send_frame(sock, OP_QUERY, wire.serialize_query_share(share))
             for sock in self._socks:
                 op, payload = _recv_frame(sock)
+                if op == OP_DENIED:
+                    raise PermissionError(payload.decode())
                 if op == OP_ERROR:
                     raise RuntimeError(payload.decode())
                 results.append(wire.deserialize_shared_result(payload))
@@ -557,6 +578,8 @@ class PirClient:
                 _send_frame(sock, OP_QUERY_BATCH, payload)
             for sock in self._socks:
                 op, payload = _recv_frame(sock)
+                if op == OP_DENIED:
+                    raise PermissionError(payload.decode())
                 if op == OP_ERROR:
                     raise RuntimeError(payload.decode())
                 (count,) = struct.unpack_from("<I", payload, 0)
@@ -712,13 +735,13 @@ class PirClient:
                 _send_frame(sock, OP_ASPIR_SHARED_QUERY, payload)
             for sock in self._socks:
                 resps.append(_recv_frame(sock))
+        # only an actual audit refusal (OP_DENIED) is an authentication
+        # failure; timeouts / internal faults must not read as "wrong key"
+        refusals = [p.decode() for op, p in resps if op == OP_DENIED]
+        if refusals:
+            raise PermissionError(refusals[0])
         errors = [p.decode() for op, p in resps if op == OP_ERROR]
         if errors:
-            # only an actual audit refusal is an authentication failure;
-            # timeouts / internal faults must not read as "wrong key"
-            refusals = [e for e in errors if e.startswith("audit failed")]
-            if refusals:
-                raise PermissionError(refusals[0])
             raise RuntimeError(errors[0])
         return recover([wire.deserialize_shared_result(p) for _, p in resps])
 

@@ -93,7 +93,10 @@ def test_fast_batch_distinct_keys_chunks():
     db = generate_random_db(height, 8)
     eng = TpuPirServer(db, fast_nonshared_chunk=4)
     rng = np.random.default_rng(3)
-    idxs = [int(i) for i in rng.integers(0, height, size=10)]
+    # 9 = 4 + 4 + 1: the tail chunk tiles a SINGLE query, which must
+    # still dispatch with the non-shared layout (a tiled tail shares
+    # keys by construction and would otherwise flip the compiled shape)
+    idxs = [int(i) for i in rng.integers(0, height, size=9)]
     # one keygen per query -> independent PRF keys per share
     share_lists = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
                    for i in idxs]
@@ -125,3 +128,19 @@ def test_compat_batch_tail_pad_is_full_chunk():
     for sl, res in zip(share_lists, got):
         want = srv.private_secret_shared_query(db, sl[0])
         assert res.shares[0].equal(want.shares[0])
+
+
+def test_fast_payload_layout_override():
+    """A chunk tail tiled from one query shares PRF keys by construction;
+    the dispatcher forces shared_rk=False so the compiled-shape choice
+    never flips on padding artifacts (review r3)."""
+    from pir_tpu.dpf.device import make_fast_payload_batch
+    from pir_tpu.utils import pad_tile
+
+    db = generate_random_db(1 << 12, 8)
+    share = q.new_index_query_shares(db.metadata(), 5, 1, 2, fast=True)[0]
+    part = pad_tile([share], 4)
+    _, lo_auto = make_fast_payload_batch(part)
+    _, lo_forced = make_fast_payload_batch(part, shared_rk=False)
+    assert lo_auto.shared_rk is True
+    assert lo_forced.shared_rk is False

@@ -343,5 +343,23 @@ def test_service_malformed_frames_keep_connection():
             assert op == OP_METADATA
         finally:
             sock.close()
+        # a zero-length frame (no opcode byte) is a framing violation:
+        # the server closes that connection in an orderly way and keeps
+        # accepting new ones
+        sock = _socket.create_connection(s.address)
+        try:
+            import struct as _struct
+
+            sock.sendall(_struct.pack("<I", 0))
+            assert sock.recv(1) == b""  # orderly EOF, no crash
+        finally:
+            sock.close()
+        sock = _socket.create_connection(s.address)
+        try:
+            _send_frame(sock, OP_METADATA, b"")
+            op, _ = _recv_frame(sock)
+            assert op == OP_METADATA
+        finally:
+            sock.close()
     finally:
         s.close()
