@@ -1,0 +1,73 @@
+"""Fused scan+expand kernel == the two split kernels, bit for bit.
+
+The fused kernel (ops/pallas_fused.py) interleaves batch i's packed-bits
+MXU scan with batch i+1's VPU AES tail walk inside one grid; its two
+outputs must equal what ops/pallas_scan.mxu_batched_scan_packed_pallas
+and ops/pallas_expand.fast_tail_expand_pallas produce on the same
+operands. Runs in interpret mode on CPU (compiled-TPU behavior is
+covered by the on-chip A/B in benchmarks_fused.py).
+"""
+
+import numpy as np
+import pytest
+
+from pir_tpu.ops.pallas_expand import fast_tail_expand_pallas
+from pir_tpu.ops.pallas_fused import fused_scan_expand_pallas
+from pir_tpu.ops.pallas_scan import mxu_batched_scan_packed_pallas
+
+
+@pytest.mark.parametrize("levels,q_slice", [(0, None), (1, None), (2, None),
+                                            (2, 8)])
+def test_fused_matches_split(levels, q_slice):
+    rng = np.random.default_rng(11)
+    h, b, q = 1 << 15, 256, 16
+    br, bc = 4096, 256
+    nwf = (h // 128) // 32  # one leaf PRG block covers 128 rows
+    nw0 = nwf >> levels
+    qe = q
+
+    table = rng.integers(0, 256, size=(h, b), dtype=np.uint8)
+    words = rng.integers(0, 1 << 32, size=(h // 32, q), dtype=np.uint64
+                         ).astype(np.uint32)
+    u32 = lambda *s: rng.integers(0, 1 << 32, size=s, dtype=np.uint64
+                                  ).astype(np.uint32)
+    seeds = u32(qe, 8, 16, nw0)
+    t = (rng.integers(0, 2, size=(qe, 1, nw0), dtype=np.uint64)
+         * 0xFFFFFFFF).astype(np.uint32)
+    lv = max(levels, 1)
+    cw_s = u32(qe, lv, 8, 16, 1)
+    cw_tl, cw_tr = u32(qe, lv), u32(qe, lv)
+    rk = u32(11, 8, 3, 16, 1)
+    fcw = u32(qe, 8, 16, 1)
+    rk_leaf = u32(11, 8, 16, 1)
+
+    want_scan = np.asarray(mxu_batched_scan_packed_pallas(
+        table, words, block_rows=br, block_cols=bc, interpret=True))
+    want_tail = np.asarray(fast_tail_expand_pallas(
+        seeds, t, cw_s[:, :levels or 1], cw_tl[:, :levels or 1],
+        cw_tr[:, :levels or 1], rk, fcw, rk_leaf,
+        levels=levels, interpret=True))
+
+    got_scan, got_tail = fused_scan_expand_pallas(
+        table, words, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
+        levels=levels, q_slice=q_slice, block_rows=br, block_cols=bc,
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got_scan), want_scan)
+    np.testing.assert_array_equal(np.asarray(got_tail), want_tail)
+
+
+def test_fused_rejects_nondivisible_grid():
+    rng = np.random.default_rng(1)
+    h, b, q = 1 << 15, 256, 12  # 12 not divisible by the 8-step grid
+    table = rng.integers(0, 256, size=(h, b), dtype=np.uint8)
+    words = rng.integers(0, 1 << 32, size=(h // 32, q), dtype=np.uint64
+                         ).astype(np.uint32)
+    u32 = lambda *s: rng.integers(0, 1 << 32, size=s, dtype=np.uint64
+                                  ).astype(np.uint32)
+    with pytest.raises(AssertionError):
+        fused_scan_expand_pallas(
+            table, words, u32(q, 8, 16, 2), u32(q, 1, 2), u32(q, 2, 8, 16, 1),
+            u32(q, 2), u32(q, 2), u32(11, 8, 3, 16, 1), u32(q, 8, 16, 1),
+            u32(11, 8, 16, 1),
+            levels=2, block_rows=4096, block_cols=256, interpret=True)
