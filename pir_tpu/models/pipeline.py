@@ -607,3 +607,65 @@ def batched_answer(table, keys, *, d_levels: int):
         )
 
     return jax.vmap(one)(seeds, t_plane, cw_s, cw_tl, cw_tr, rk, fcw)
+
+
+@functools.lru_cache(maxsize=16)
+def fused_fast_overlap_step_fn(layout, tail_levels: int = 2,
+                               interpret: bool = False):
+    """Steady-state overlap step: scan batch i's packed selection bits
+    while expanding batch i+1 in ONE Pallas kernel (ops/pallas_fused.py),
+    so the MXU matmul stream and the VPU AES stream can co-issue.
+    Requires the batch-shared PRF-key layout (batch keygen).
+
+    jit(table_u8 (flat_pad, B), words_prev_t (flat_pad // 32, Q),
+        payloads (Q, L)) -> (out_prev (Q, B) uint8,
+                             words_next_t (flat_pad // 32, Q) uint32).
+    Feed words_next_t back as words_prev_t of the next call; the first
+    call takes zeros (its out is garbage, discarded) and the last batch
+    drains with a zero payload (its tail output is discarded).
+    """
+    from ..dpf.device import _expand_root_level, unpack_fast_root_payload
+    from ..ops.pallas_fused import fused_geometry, fused_scan_expand_pallas
+
+    if not getattr(layout, "shared_rk", False):
+        raise ValueError("overlap serving needs the batch-shared key layout")
+    depth = layout.depth
+    tail = max(0, min(tail_levels, depth - 5))
+    head_levels = depth - tail
+
+    def head(payload, rk):
+        seeds, t, cw_s, cw_tl, cw_tr, fcw, _, _ = (
+            unpack_fast_root_payload(payload, layout)
+        )
+        for i in range(head_levels):
+            seeds, t = _expand_root_level(
+                seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk, i
+            )
+        return (seeds, t[None, :], cw_s[head_levels:], cw_tl[head_levels:],
+                cw_tr[head_levels:], fcw)
+
+    def fn(table_u8, words_prev_t, payloads):
+        _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+            payloads[0], layout
+        )
+        seeds, t, cw_s, cw_tl, cw_tr, fcw = jax.vmap(
+            lambda p: head(p, rk)
+        )(payloads)
+        q = seeds.shape[0]
+        rows, b = table_u8.shape
+        geo = fused_geometry(rows, b, q, q)
+        if geo is None:
+            raise ValueError(f"no fused geometry for {(rows, b, q)}")
+        q_slice, br, bc = geo
+        out_prev, packed = fused_scan_expand_pallas(
+            table_u8, words_prev_t, seeds, t, cw_s, cw_tl, cw_tr, rk, fcw,
+            rk_leaf, levels=tail, q_slice=q_slice, block_rows=br,
+            block_cols=bc, interpret=interpret,
+        )
+        words = packed.reshape(q, -1)  # free reshape, see pallas path above
+        flat = words.shape[1] * 32
+        if rows > flat:
+            words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
+        return out_prev, words.T
+
+    return jax.jit(fn)

@@ -200,11 +200,14 @@ def fused_geometry(h: int, b: int, q: int, qe: int):
     """Pick (q_slice, block_rows, block_cols) so per-step MXU and VPU
     work balance (one expansion query per step) within the VMEM budget,
     or None when no geometry divides the shapes."""
+    cands = [(2048, 256), (2048, 128), (1024, 256), (1024, 128),
+             (512, 128), (4096, 256)]
+    if b <= 256:  # narrow tables: full-width column blocks
+        cands += [(4096, b), (2048, b), (1024, b), (512, b), (256, b)]
     for q_slice in (2048, 1024, 512, q):
         if q_slice > q or q % q_slice:
             continue
-        for br, bc in ((2048, 256), (2048, 128), (1024, 256), (1024, 128),
-                       (512, 128), (4096, 256)):
+        for br, bc in cands:
             if h % br or b % bc or br % 256:
                 continue
             steps = (q // q_slice) * (b // bc) * (h // br)

@@ -893,3 +893,90 @@ class TpuPirServer:
             )
         res = np.asarray(res)
         return [self._result_from_words(res[i], g) for i in range(len(queries))]
+
+    # ---- steady-state overlap serving (fused scan+expand kernel) ----
+
+    def fast_serving_stream(self) -> "FastServingStream":
+        """Open a steady-state fast-mode serving stream backed by the
+        fused scan+expand kernel: batch k's table scan runs in the SAME
+        Pallas kernel as batch k+1's DPF expansion, overlapping the MXU
+        and VPU streams (ops/pallas_fused.py). Batches must be uniform
+        (same size, group size, depth) with batch-shared PRF keys (the
+        batch-keygen layout). One batch of latency is added: submit(k)
+        returns batch k-1's results; flush() drains the last batch."""
+        return FastServingStream(self)
+
+
+class FastServingStream:
+    """See TpuPirServer.fast_serving_stream."""
+
+    def __init__(self, server: TpuPirServer):
+        self._srv = server
+        self._shape = None  # (Q, group, depth, layout)
+        self._words = None  # previous batch's packed bits, transposed
+        self._prev = None  # previous batch's (queries,) for slicing
+        self._step = None
+        self._table = None
+
+    def _prepare(self, queries):
+        import jax
+
+        from .dpf.device import make_fast_payload_batch
+        from .models.pipeline import fused_fast_overlap_step_fn
+
+        srv = self._srv
+        q0 = queries[0]
+        if q0.key_fast is None or q0.is_keyword_based:
+            raise ValueError("stream serves fast-mode index queries only")
+        if not srv._batch_shares_prf_keys(queries):
+            raise ValueError("stream batches need batch-shared PRF keys")
+        pay, layout = make_fast_payload_batch(queries, shared_rk=True)
+        shape = (len(queries), q0.group_size, q0.key_fast.depth, layout)
+        if self._shape is None:
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = (srv._use_pallas if srv._use_pallas is not None
+                          else on_tpu)
+            if not use_pallas:
+                raise ValueError("stream needs the Pallas serving path "
+                                 "(use_pallas=True; interpret off-TPU)")
+            self._shape = shape
+            self._table = srv._root_table_u8(q0.group_size, q0.key_fast.depth)
+            self._step = fused_fast_overlap_step_fn(
+                layout, tail_levels=srv.pallas_tail_levels,
+                interpret=not on_tpu,
+            )
+            import jax.numpy as jnp
+
+            self._words = jnp.zeros(
+                (self._table.shape[0] // 32, len(queries)), jnp.uint32
+            )
+        elif shape != self._shape:
+            raise ValueError(f"stream batches must keep one shape: "
+                             f"{shape[:3]} != {self._shape[:3]}")
+        return pay
+
+    def submit(self, queries):
+        """Dispatch a batch; returns the PREVIOUS batch's results (None
+        for the first submit)."""
+        pay = self._prepare(list(queries))
+        out_prev, self._words = self._step(self._table, self._words, pay)
+        prev, self._prev = self._prev, list(queries)
+        if prev is None:
+            return None
+        g, n = prev[0].group_size, len(prev)
+        return self._srv._slice_batch_results(np.asarray(out_prev), g, n)
+
+    def flush(self):
+        """Drain: scan the last submitted batch (a zero payload rides the
+        expansion side and is discarded). Returns its results, or None
+        if the stream is empty."""
+        if self._prev is None:
+            return None
+        q_n, _, _, layout = self._shape
+        zeros = np.zeros((q_n, layout.total), dtype=np.uint32)
+        out_last, _ = self._step(self._table, self._words, zeros)
+        prev, self._prev = self._prev, None
+        self._words = None
+        self._shape = None
+        g, n = prev[0].group_size, len(prev)
+        return self._srv._slice_batch_results(np.asarray(out_last), g, n)

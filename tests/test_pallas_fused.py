@@ -71,3 +71,35 @@ def test_fused_rejects_nondivisible_grid():
             u32(q, 2), u32(q, 2), u32(11, 8, 3, 16, 1), u32(q, 8, 16, 1),
             u32(11, 8, 16, 1),
             levels=2, block_rows=4096, block_cols=256, interpret=True)
+
+
+def test_fast_serving_stream_matches_batch():
+    """The overlap serving stream (fused kernel, one-batch lag) answers
+    identically to the regular batch API on the same shares."""
+    import numpy as np
+
+    from pir_tpu import query as q
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.server import TpuPirServer
+
+    db = generate_random_db(1 << 15, 8)
+    eng = TpuPirServer(db, use_pallas=True)
+    md = db.metadata()
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(3):
+        idxs = [int(i) for i in rng.integers(0, db.db_size, size=16)]
+        share_lists = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
+        batches.append([s[0] for s in share_lists])
+    stream = eng.fast_serving_stream()
+    outs = []
+    for batch in batches:
+        r = stream.submit(batch)
+        if r is not None:
+            outs.append(r)
+    outs.append(stream.flush())
+    assert len(outs) == len(batches)
+    for batch, got in zip(batches, outs):
+        want = eng.private_secret_shared_query_batch(batch)
+        for w, g_ in zip(want, got):
+            assert g_.shares[0].equal(w.shares[0])
