@@ -955,21 +955,28 @@ class FastServingStream:
                              f"{shape[:3]} != {self._shape[:3]}")
         return pay
 
+    def _future(self, out_dev, queries):
+        g, n = queries[0].group_size, len(queries)
+        return lambda: self._srv._slice_batch_results(
+            np.asarray(out_dev), g, n
+        )
+
     def submit(self, queries):
-        """Dispatch a batch; returns the PREVIOUS batch's results (None
-        for the first submit)."""
+        """Dispatch a batch; returns a zero-arg callable resolving the
+        PREVIOUS batch's results (None for the first submit). The fetch
+        is deferred so callers can drain a few batches behind the device
+        (the dispatch itself is async)."""
         pay = self._prepare(list(queries))
         out_prev, self._words = self._step(self._table, self._words, pay)
         prev, self._prev = self._prev, list(queries)
         if prev is None:
             return None
-        g, n = prev[0].group_size, len(prev)
-        return self._srv._slice_batch_results(np.asarray(out_prev), g, n)
+        return self._future(out_prev, prev)
 
     def flush(self):
         """Drain: scan the last submitted batch (a zero payload rides the
-        expansion side and is discarded). Returns its results, or None
-        if the stream is empty."""
+        expansion side and is discarded). Returns that batch's result
+        future, or None if the stream is empty."""
         if self._prev is None:
             return None
         q_n, _, _, layout = self._shape
@@ -978,5 +985,4 @@ class FastServingStream:
         prev, self._prev = self._prev, None
         self._words = None
         self._shape = None
-        g, n = prev[0].group_size, len(prev)
-        return self._srv._slice_batch_results(np.asarray(out_last), g, n)
+        return self._future(out_last, prev)

@@ -96,8 +96,8 @@ def test_fast_serving_stream_matches_batch():
     for batch in batches:
         r = stream.submit(batch)
         if r is not None:
-            outs.append(r)
-    outs.append(stream.flush())
+            outs.append(r())
+    outs.append(stream.flush()())
     assert len(outs) == len(batches)
     for batch, got in zip(batches, outs):
         want = eng.private_secret_shared_query_batch(batch)
