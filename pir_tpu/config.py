@@ -21,6 +21,10 @@ class PirConfig:
     # engines
     engine: str = "auto"  # auto | host | native | tpu | mesh
     min_device_nodes: int = 32  # host-prefix cutoff for TPU expansion
+    # Pallas kernel dispatch for the TPU engine: None = auto (on for the
+    # TPU backend only); True forces interpret-mode kernels off-TPU
+    # (CI exercises the fused serving stream this way)
+    use_pallas: bool | None = None
 
     # mesh (rows = 'tp', query batch = 'dp'; parallel/mesh.py). Setting
     # mesh_tp * mesh_dp > 1 with engine auto/tpu selects the multi-chip

@@ -54,6 +54,14 @@ OP_ASPIR_AUDIT = 12
 # work, keyword.go:14-16)
 OP_BST_META = 13
 OP_BST_LEVEL = 14
+# steady-state serving stream (one-batch lag): SUBMIT dispatches a batch
+# and returns the PREVIOUS batch's results (empty for the first); FLUSH
+# drains the last batch and resets the stream. On the TPU engine this
+# rides TpuPirServer.fast_serving_stream (the fused scan+expand kernel:
+# batch k's scan overlaps batch k+1's DPF expansion on device); other
+# engines emulate the lag so the wire contract is engine-independent.
+OP_STREAM_SUBMIT = 15
+OP_STREAM_FLUSH = 16
 # a protocol-level REFUSAL (failed ASPIR audit/authentication), distinct
 # from OP_ERROR so clients never have to classify by error text
 OP_DENIED = 254
@@ -139,7 +147,8 @@ class PirService:
             from .server import TpuPirServer
 
             self._engine = TpuPirServer(
-                db, min_device_nodes=self.config.min_device_nodes
+                db, min_device_nodes=self.config.min_device_nodes,
+                use_pallas=self.config.use_pallas,
             )
         elif self.engine_name == "mesh":
             from .parallel.mesh import MeshPirServer
@@ -157,13 +166,14 @@ class PirService:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                ctx: dict = {}  # per-connection state (serving streams)
                 while True:
                     try:
                         opcode, payload = _recv_frame(self.request)
                     except (ConnectionError, struct.error):
                         return
                     try:
-                        resp_op, resp = service._dispatch(opcode, payload)
+                        resp_op, resp = service._dispatch(opcode, payload, ctx)
                     except PermissionError as e:  # authentication refusal
                         resp_op, resp = OP_DENIED, str(e).encode()
                     except Exception as e:  # report errors to the client
@@ -328,29 +338,99 @@ class PirService:
             raise RuntimeError(f"audit leader error: {resp.decode()}")
         return resp[0]
 
-    def _dispatch(self, opcode: int, payload: bytes) -> tuple[int, bytes]:
+    @staticmethod
+    def _parse_share_batch(payload: bytes) -> list[QueryShare]:
+        # payload: u32 count ‖ (u32 len ‖ share)*
+        (count,) = struct.unpack_from("<I", payload, 0)
+        off = 4
+        shares = []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            shares.append(wire.deserialize_query_share(payload[off:off + ln]))
+            off += ln
+        return shares
+
+    @staticmethod
+    def _pack_results(results: list[SecretSharedQueryResult]) -> bytes:
+        blobs = [wire.serialize_shared_result(r) for r in results]
+        return struct.pack("<I", len(blobs)) + b"".join(
+            struct.pack("<I", len(b)) + b for b in blobs
+        )
+
+    def _stream_submit(self, ctx: dict, shares: list[QueryShare]) -> bytes:
+        """One serving-stream step: dispatch `shares`, answer the batch
+        submitted on the previous step (one-batch lag, see OP_STREAM_*)."""
+        from .server import TpuPirServer
+
+        st = ctx.get("stream")
+        if st is None:
+            st = ctx["stream"] = {"mode": None, "obj": None, "pending": None}
+        scan = self.db.db_size * self.db.slot_bytes
+        if st["mode"] is None:
+            # decide once per stream: the fused device stream when the
+            # TPU engine accepts the batch shape, else shell emulation
+            if isinstance(self._engine, TpuPirServer):
+                try:
+                    stream = self._engine.fast_serving_stream()
+                    fut = stream.submit(shares)  # validates + dispatches
+                    assert fut is None  # first submit has nothing to drain
+                    st["mode"], st["obj"] = "fused", stream
+                    st["pending"] = len(shares)
+                    return self._pack_results([])
+                except ValueError:
+                    pass  # non-uniform/compat/keyword batch: emulate
+            st["mode"] = "emul"
+        if st["mode"] == "fused":
+            fut = st["obj"].submit(shares)
+            n_prev, st["pending"] = st["pending"], len(shares)
+            with self.metrics.timed_query(n_prev * scan, n=n_prev):
+                results = fut()
+            return self._pack_results(results)
+        prev, st["pending"] = st["pending"], shares
+        if prev is None:
+            return self._pack_results([])
+        with self.metrics.timed_query(len(prev) * scan, n=len(prev)):
+            results = self._answer_batch(prev)
+        return self._pack_results(results)
+
+    def _stream_flush(self, ctx: dict) -> bytes:
+        st = ctx.pop("stream", None)
+        if st is None or st["pending"] is None:
+            return self._pack_results([])
+        scan = self.db.db_size * self.db.slot_bytes
+        if st["mode"] == "fused":
+            fut, n_prev = st["obj"].flush(), st["pending"]
+            with self.metrics.timed_query(n_prev * scan, n=n_prev):
+                results = fut()
+            return self._pack_results(results)
+        prev = st["pending"]
+        with self.metrics.timed_query(len(prev) * scan, n=len(prev)):
+            results = self._answer_batch(prev)
+        return self._pack_results(results)
+
+    def _dispatch(self, opcode: int, payload: bytes,
+                  ctx: dict | None = None) -> tuple[int, bytes]:
         scan = self.db.db_size * self.db.slot_bytes
         if opcode == OP_METADATA:
             return OP_METADATA, wire.serialize_metadata(
                 self.db.slot_bytes, self.db.db_size, self._metadata_flags()
             )
         if opcode == OP_QUERY_BATCH:
-            # payload: u32 count ‖ (u32 len ‖ share)*
-            (count,) = struct.unpack_from("<I", payload, 0)
-            off = 4
-            shares = []
-            for _ in range(count):
-                (ln,) = struct.unpack_from("<I", payload, off)
-                off += 4
-                shares.append(wire.deserialize_query_share(payload[off:off + ln]))
-                off += ln
-            with self.metrics.timed_query(count * scan, n=count):
+            shares = self._parse_share_batch(payload)
+            with self.metrics.timed_query(len(shares) * scan, n=len(shares)):
                 results = self._answer_batch(shares)
-            blobs = [wire.serialize_shared_result(r) for r in results]
-            out = struct.pack("<I", len(blobs)) + b"".join(
-                struct.pack("<I", len(b)) + b for b in blobs
+            return OP_QUERY_BATCH, self._pack_results(results)
+        if opcode == OP_STREAM_SUBMIT:
+            if ctx is None:
+                raise ValueError("serving streams need a connection context")
+            return OP_STREAM_SUBMIT, self._stream_submit(
+                ctx, self._parse_share_batch(payload)
             )
-            return OP_QUERY_BATCH, out
+        if opcode == OP_STREAM_FLUSH:
+            if ctx is None:
+                raise ValueError("serving streams need a connection context")
+            return OP_STREAM_FLUSH, self._stream_flush(ctx)
         if opcode == OP_QUERY:
             share = wire.deserialize_query_share(payload)
             with self.metrics.timed_query(scan):
@@ -577,26 +657,38 @@ class PirClient:
                 )
                 _send_frame(sock, OP_QUERY_BATCH, payload)
             for sock in self._socks:
-                op, payload = _recv_frame(sock)
-                if op == OP_DENIED:
-                    raise PermissionError(payload.decode())
-                if op == OP_ERROR:
-                    raise RuntimeError(payload.decode())
-                (count,) = struct.unpack_from("<I", payload, 0)
-                off = 4
-                results = []
-                for _ in range(count):
-                    (ln,) = struct.unpack_from("<I", payload, off)
-                    off += 4
-                    results.append(
-                        wire.deserialize_shared_result(payload[off:off + ln])
-                    )
-                    off += ln
-                answers.append(results)
+                answers.append(self._recv_result_batch(sock))
         return [
             recover([answers[k][i] for k in range(len(self._socks))])
             for i in range(len(share_lists))
         ]
+
+    @staticmethod
+    def _recv_result_batch(sock) -> list[SecretSharedQueryResult]:
+        op, payload = _recv_frame(sock)
+        if op == OP_DENIED:
+            raise PermissionError(payload.decode())
+        if op == OP_ERROR:
+            raise RuntimeError(payload.decode())
+        (count,) = struct.unpack_from("<I", payload, 0)
+        off = 4
+        results = []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            results.append(
+                wire.deserialize_shared_result(payload[off:off + ln])
+            )
+            off += ln
+        return results
+
+    def open_stream(self, group_size: int = 1) -> "PirClientStream":
+        """Open a steady-state serving stream (OP_STREAM_*): each submit
+        dispatches a batch and returns the PREVIOUS batch's recovered
+        slots, so the servers overlap batch k's scan with batch k+1's
+        arrival (on the TPU engine, inside one fused kernel). One stream
+        per client at a time; batches must keep one size."""
+        return PirClientStream(self, group_size)
 
     # ---- keyword PIR ----
 
@@ -836,3 +928,95 @@ class PirClient:
     def close(self):
         for s in self._socks:
             s.close()
+
+
+class PirClientStream:
+    """Client half of the OP_STREAM_* serving stream (one-batch lag).
+
+    submit(indices) fans a fast-mode batch to every server and returns
+    the PREVIOUS batch's recovered slots (None for the first submit);
+    flush() drains the last batch. While the client recovers batch k-1
+    and builds batch k+1, the servers' devices scan batch k — on the TPU
+    engine the scan additionally shares a fused kernel with batch k+1's
+    DPF expansion (ops/pallas_fused.py).
+    """
+
+    def __init__(self, client: PirClient, group_size: int = 1):
+        self._c = client
+        self._g = group_size
+        self._n_prev = None
+
+    def _fan_out(self, opcode: int, payloads) -> list[list]:
+        c = self._c
+        frames = []
+        with c._lock:
+            for sock, payload in zip(c._socks, payloads):
+                _send_frame(sock, opcode, payload)
+            # drain every socket BEFORE decoding, so a per-server error
+            # (e.g. a shape-mismatch refusal) never leaves another
+            # socket's response buffered and the connections desynced
+            frames = [_recv_frame(sock) for sock in c._socks]
+        answers = []
+        for op, payload in frames:
+            if op == OP_DENIED:
+                raise PermissionError(payload.decode())
+            if op == OP_ERROR:
+                raise RuntimeError(payload.decode())
+            (count,) = struct.unpack_from("<I", payload, 0)
+            off = 4
+            results = []
+            for _ in range(count):
+                (ln,) = struct.unpack_from("<I", payload, off)
+                off += 4
+                results.append(
+                    wire.deserialize_shared_result(payload[off:off + ln])
+                )
+                off += ln
+            answers.append(results)
+        return answers
+
+    def _recover(self, answers: list[list], n: int):
+        c = self._c
+        return [
+            recover([answers[k][i] for k in range(len(c._socks))])
+            for i in range(n)
+        ]
+
+    def submit(self, indices: list[int]):
+        """Dispatch a batch of indices; returns the previous batch's
+        recovered slot lists (one per query), or None on the first call."""
+        from .query import new_index_query_shares_batch
+
+        c = self._c
+        share_lists = new_index_query_shares_batch(
+            c.metadata, list(indices), self._g, len(c._socks), fast=True
+        )
+        per_server = [[] for _ in c._socks]
+        for shares in share_lists:
+            for k, share in enumerate(shares):
+                per_server[k].append(wire.serialize_query_share(share))
+        payloads = [
+            struct.pack("<I", len(blobs)) + b"".join(
+                struct.pack("<I", len(b)) + b for b in blobs
+            )
+            for blobs in per_server
+        ]
+        answers = self._fan_out(OP_STREAM_SUBMIT, payloads)
+        n_prev, self._n_prev = self._n_prev, len(share_lists)
+        if n_prev is None:
+            if any(a for a in answers):
+                raise RuntimeError("first stream submit returned results")
+            return None
+        return self._recover(answers, n_prev)
+
+    def flush(self):
+        """Drain the stream; returns the last batch's recovered slot
+        lists, or None if the stream is empty. The stream is reusable
+        afterwards (the next submit starts a fresh one)."""
+        if self._n_prev is None:
+            return None
+        answers = self._fan_out(
+            OP_STREAM_FLUSH, [b""] * len(self._c._socks)
+        )
+        n_prev, self._n_prev = self._n_prev, None
+        return self._recover(answers, n_prev)
