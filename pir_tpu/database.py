@@ -89,6 +89,32 @@ class Database(DBMetadata):
     def set_keywords(self, keywords) -> None:
         self.keywords = np.asarray(keywords, dtype=np.uint64)
 
+    def update_slots(self, updates: dict[int, bytes]) -> None:
+        """In-place slot updates: ``{index: new_bytes}`` (zero-padded to
+        slot_bytes). The reference rebuilds its DB per run (SURVEY.md
+        §5); a serving deployment needs live updates. Engines holding
+        device-resident tables must be told too — see
+        ``TpuPirServer.apply_updates`` / ``MeshPirServer.apply_updates``
+        (host/native engines read this array directly, so the mutation
+        alone suffices there)."""
+        if not self.data.flags.writeable:
+            raise ValueError(
+                "database rows are read-only (mmap load); "
+                "load(mmap=False) to make an updatable copy"
+            )
+        for idx, payload in updates.items():
+            if not 0 <= idx < self.db_size:
+                raise IndexError(f"slot index {idx} out of range")
+            b = bytes(payload.data if isinstance(payload, Slot) else payload)
+            if len(b) > self.slot_bytes:
+                raise ValueError(
+                    f"update for slot {idx} is {len(b)} bytes; "
+                    f"slots hold {self.slot_bytes}"
+                )
+            row = np.zeros(self.slot_bytes, dtype=np.uint8)
+            row[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+            self.data[idx] = row
+
     # ---- persistence (checkpoint/resume; the reference rebuilds the DB
     # in memory each run, SURVEY.md §5) ----
 

@@ -292,6 +292,31 @@ class MeshPirServer:
         self._perms: dict[tuple, object] = {}
         self._steps: dict[tuple, object] = {}
 
+    # ---- live updates ----
+
+    def apply_updates(self, updates: dict[int, bytes]) -> None:
+        """Apply live slot updates to the mesh-resident tables: one
+        row-scatter per cached layout (the tables are natural-row-order
+        packed u32 words, so positions are the grid rows themselves).
+        See TpuPirServer.apply_updates for the serving rationale."""
+        self.db.update_slots(updates)
+        idxs = np.unique(np.fromiter((int(i) for i in updates),
+                                     dtype=np.int64, count=len(updates)))
+        sb = self.db.slot_bytes
+        for (g, rows_per_shard), tbl in list(self._tables.items()):
+            h = self.db.db_size // g
+            r = np.unique(idxs // g)
+            r = r[r < h]
+            if not len(r):
+                continue
+            words = max(1, -(-sb // 4))
+            arr = np.zeros((len(r), g, words * 4), dtype=np.uint8)
+            arr[:, :, :sb] = self.db.data[: h * g].reshape(h, g, sb)[r]
+            vals = arr.view("<u4").reshape(len(r), g * words)
+            self._tables[(g, rows_per_shard)] = (
+                jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
+            )
+
     # ---- geometry + caches ----
 
     def _sharded_table(self, group_size: int, rows_per_shard: int):

@@ -434,6 +434,120 @@ class TpuPirServer:
 
         return self._cached(self._tables, group_size, build)
 
+    # ---- live updates ----
+
+    def _packed_u32_rows(self, group_size: int, rows: np.ndarray) -> np.ndarray:
+        """pack_table_u32's row layout for just the given grid rows."""
+        sb = self.db.slot_bytes
+        words = max(1, -(-sb // 4))
+        h = self.db.db_size // group_size
+        arr = np.zeros((len(rows), group_size, words * 4), dtype=np.uint8)
+        arr[:, :, :sb] = self.db.data[: h * group_size].reshape(
+            h, group_size, sb
+        )[rows]
+        return arr.view("<u4").reshape(len(rows), group_size * words)
+
+    def apply_updates(self, updates: dict[int, bytes]) -> None:
+        """Apply live slot updates to every device-resident table.
+
+        The reference rebuilds its DB per run (SURVEY.md §5); a serving
+        deployment must update rows without re-uploading multi-GiB
+        tables or restarting. All cached layouts derive row-wise from
+        ``db.data`` (optionally permuted into storage order), so each is
+        patched with one device row-scatter: O(changed rows) transfer,
+        not O(table). Queries concurrent with the patch see the old or
+        the new row atomically per table (the scatter swaps whole
+        buffers); keyword bit-planes are untouched (they derive from
+        ``db.keywords``, which updates leave as-is)."""
+        import jax.numpy as jnp
+
+        from .dpf.device import (
+            _compat_leaf_perm_root,
+            _compat_perm_pallas,
+            _fast_leaf_perm,
+            _fast_leaf_perm_root,
+        )
+        from .ops.matmul_scan import make_plane_table
+
+        with self._cache_lock:
+            self.db.update_slots(updates)
+            idxs = np.unique(
+                np.fromiter((int(i) for i in updates), dtype=np.int64,
+                            count=len(updates))
+            )
+            sb = self.db.slot_bytes
+
+            def rows_for(g):
+                h = self.db.db_size // g
+                r = np.unique(idxs // g)
+                return r[r < h]
+
+            def raw_rows(g, rows):
+                h = self.db.db_size // g
+                return self.db.data[: h * g].reshape(h, g * sb)[rows]
+
+            def patched(table, pos, vals):
+                return jnp.asarray(table).at[jnp.asarray(pos)].set(
+                    jnp.asarray(vals)
+                )
+
+            for g in list(self._tables_u8):
+                r = rows_for(g)
+                if len(r):
+                    self._tables_u8[g] = patched(
+                        self._tables_u8[g], r, raw_rows(g, r)
+                    )
+            for g in list(self._plane_tables):
+                if self._plane_tables[g] is None:
+                    continue
+                r = rows_for(g)
+                if len(r):
+                    self._plane_tables[g] = patched(
+                        self._plane_tables[g], r,
+                        make_plane_table(raw_rows(g, r)),
+                    )
+            for g, (tbl, h) in list(self._tables.items()):
+                r = rows_for(g)
+                if len(r):
+                    self._tables[g] = (
+                        patched(tbl, r, self._packed_u32_rows(g, r)), h
+                    )
+            for key, val in list(self._storage_cache.items()):
+                if val is None:  # over-budget plane table marker
+                    continue
+                kind = key[0] if isinstance(key[0], str) else "words"
+                g = key[1] if kind != "words" else key[0]
+                h = self.db.db_size // g
+                r = rows_for(g)
+                if not len(r):
+                    continue
+                if kind == "root_u8":
+                    perm = _fast_leaf_perm_root(key[2], h)
+                    self._storage_cache[key] = patched(
+                        val, perm[r], raw_rows(g, r)
+                    )
+                elif kind == "root":
+                    perm = _fast_leaf_perm_root(key[2], h)
+                    self._storage_cache[key] = patched(
+                        val, perm[r], make_plane_table(raw_rows(g, r))
+                    )
+                elif kind == "compat_u8":
+                    perm = _compat_perm_pallas(key[2], h, key[3], key[4])
+                    self._storage_cache[key] = patched(
+                        val, perm[r], raw_rows(g, r)
+                    )
+                elif kind == "compat_root":
+                    perm = _compat_leaf_perm_root(key[2], h)
+                    self._storage_cache[key] = patched(
+                        val, perm[r], make_plane_table(raw_rows(g, r))
+                    )
+                else:  # (g, d, mp) -> (None, u32 word table)
+                    perm = _fast_leaf_perm(key[1], h, key[2])
+                    self._storage_cache[key] = (
+                        val[0],
+                        patched(val[1], perm[r], self._packed_u32_rows(g, r)),
+                    )
+
     def _perm(self, num_bits: int, height: int):
         """Device-resident leaf permutation, shared across queries."""
 
@@ -916,7 +1030,7 @@ class FastServingStream:
         self._words = None  # previous batch's packed bits, transposed
         self._prev = None  # previous batch's (queries,) for slicing
         self._step = None
-        self._table = None
+        self._table_key = None
 
     def _prepare(self, queries):
         import jax
@@ -940,7 +1054,9 @@ class FastServingStream:
                 raise ValueError("stream needs the Pallas serving path "
                                  "(use_pallas=True; interpret off-TPU)")
             self._shape = shape
-            self._table = srv._root_table_u8(q0.group_size, q0.key_fast.depth)
+            # resolved per submit (not pinned) so live updates
+            # (apply_updates) reach an open stream at the next batch
+            self._table_key = (q0.group_size, q0.key_fast.depth)
             self._step = fused_fast_overlap_step_fn(
                 layout, tail_levels=srv.pallas_tail_levels,
                 interpret=not on_tpu,
@@ -948,7 +1064,7 @@ class FastServingStream:
             import jax.numpy as jnp
 
             self._words = jnp.zeros(
-                (self._table.shape[0] // 32, len(queries)), jnp.uint32
+                (self._table().shape[0] // 32, len(queries)), jnp.uint32
             )
         elif shape != self._shape:
             raise ValueError(f"stream batches must keep one shape: "
@@ -967,7 +1083,7 @@ class FastServingStream:
         is deferred so callers can drain a few batches behind the device
         (the dispatch itself is async)."""
         pay = self._prepare(list(queries))
-        out_prev, self._words = self._step(self._table, self._words, pay)
+        out_prev, self._words = self._step(self._table(), self._words, pay)
         prev, self._prev = self._prev, list(queries)
         if prev is None:
             return None
@@ -981,7 +1097,7 @@ class FastServingStream:
             return None
         q_n, _, _, layout = self._shape
         zeros = np.zeros((q_n, layout.total), dtype=np.uint32)
-        out_last, _ = self._step(self._table, self._words, zeros)
+        out_last, _ = self._step(self._table(), self._words, zeros)
         prev, self._prev = self._prev, None
         self._words = None
         self._shape = None
