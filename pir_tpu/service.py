@@ -338,6 +338,19 @@ class PirService:
             raise RuntimeError(f"audit leader error: {resp.decode()}")
         return resp[0]
 
+    def apply_updates(self, updates: dict[int, bytes]) -> None:
+        """Live slot updates on a running service (admin plane — an
+        in-process operator call, deliberately not a wire opcode: the
+        query protocol must not let clients mutate the table). Engines
+        holding device-resident tables patch them in place
+        (TpuPirServer/MeshPirServer.apply_updates); host/native engines
+        read db.data directly, so the row mutation suffices."""
+        eng = self._engine
+        if eng is not None and hasattr(eng, "apply_updates"):
+            eng.apply_updates(updates)
+        else:
+            self.db.update_slots(updates)
+
     @staticmethod
     def _parse_share_batch(payload: bytes) -> list[QueryShare]:
         # payload: u32 count ‖ (u32 len ‖ share)*

@@ -118,6 +118,61 @@ def test_update_end_to_end_recovery():
         assert fetch(other, fast) == old_other  # neighbours untouched
 
 
+def test_updates_race_concurrent_queries():
+    """Queries concurrent with apply_updates see the old or the new row
+    atomically (each cached table is swapped whole), never a torn one —
+    and the service-level convenience routes to the engine."""
+    import threading
+
+    from pir_tpu.service import PirService
+
+    db = generate_random_db(1 << 9, 8)
+    md = db.metadata()
+    svc = PirService(db, use_tpu=True).start()
+    try:
+        idx = 123
+        olds = {db.data[idx].tobytes()}
+        news = set()
+        stop = threading.Event()
+        seen, errs = [], []
+
+        def hammer():
+            # both shares answer on the engine: each patched table is a
+            # whole-buffer swap, so reads are atomic per table (db.data
+            # itself is only safe to read under quiescence)
+            eng = svc._engine
+            while not stop.is_set():
+                try:
+                    shares = q.new_index_query_shares(md, idx, 1, 2, fast=True)
+                    r0 = eng.private_secret_shared_query(shares[0])
+                    r1 = eng.private_secret_shared_query(shares[1])
+                    seen.append(bytes(q.recover([r0, r1])[0].data))
+                except Exception as e:  # surface, don't swallow
+                    errs.append(e)
+                    return
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        for k in range(10):
+            val = bytes([k]) * 8
+            news.add(val)
+            svc.apply_updates({idx: val})
+        stop.set()
+        t.join(timeout=60)
+        assert not errs, errs
+        assert seen, "no concurrent reads happened"
+        allowed = olds | news
+        assert all(s in allowed for s in seen), set(seen) - allowed
+        # once quiescent, the final state is the last update
+        eng = svc._engine
+        shares = q.new_index_query_shares(md, idx, 1, 2, fast=True)
+        final = q.recover([eng.private_secret_shared_query(s)
+                           for s in shares])
+        assert bytes(final[0].data) == bytes([9]) * 8
+    finally:
+        svc.close()
+
+
 def test_mesh_apply_updates():
     from pir_tpu.parallel.mesh import MeshPirServer
 
