@@ -87,6 +87,32 @@ def main():
           f"({qps:.0f} qps/server-pair, effective scan "
           f"{qps * table_bytes / 1e9:.2f} GB/s, all recoveries bit-exact)")
 
+    # the same steady state over TCP: the serving stream answers batch
+    # k-1 in the response to submit(k) (on a TPU backend batch k's scan
+    # and batch k+1's expansion share one fused kernel; here the host
+    # engines emulate the lag, so this demonstrates the wire contract)
+    from pir_tpu.service import PirClient, PirService
+
+    svcs = [PirService(db).start() for _ in range(2)]
+    try:
+        client = PirClient([s.address for s in svcs])
+        stream = client.open_stream()
+        pending, done = list(all_idx), []
+        for idxs in all_idx:
+            res = stream.submit(idxs)
+            if res is not None:
+                done.append((pending.pop(0), res))
+        done.append((pending.pop(0), stream.flush()))
+        for idxs, res in done:
+            for i, slots in zip(idxs, res):
+                assert bytes(slots[0].data) == db.data[i].tobytes(), i
+        print(f"serving stream over TCP: {sum(len(r) for _, r in done)} "
+              f"results, all bit-exact (one-batch lag)")
+        client.close()
+    finally:
+        for s in svcs:
+            s.close()
+
 
 if __name__ == "__main__":
     main()
