@@ -89,18 +89,27 @@ class Database(DBMetadata):
     def set_keywords(self, keywords) -> None:
         self.keywords = np.asarray(keywords, dtype=np.uint64)
 
-    def update_slots(self, updates: dict[int, bytes]) -> None:
-        """In-place slot updates: ``{index: new_bytes}`` (zero-padded to
+    def update_slots(self, updates: dict[int, bytes], *,
+                     copy_on_write: bool = False) -> None:
+        """Slot updates: ``{index: new_bytes}`` (zero-padded to
         slot_bytes). The reference rebuilds its DB per run (SURVEY.md
         §5); a serving deployment needs live updates. Engines holding
         device-resident tables must be told too — see
-        ``TpuPirServer.apply_updates`` / ``MeshPirServer.apply_updates``
-        (host/native engines read this array directly, so the mutation
-        alone suffices there)."""
-        if not self.data.flags.writeable:
+        ``TpuPirServer.apply_updates`` / ``MeshPirServer.apply_updates``.
+
+        copy_on_write=True patches a fresh copy and swaps ``self.data``
+        atomically (one attribute store under the GIL): scans already
+        running finish on the old rows and never observe a torn row.
+        This is what engines serving concurrent queries use — it costs
+        one table copy per call, so batch updates. The default mutates
+        in place (no copy; only safe when no concurrent reader exists)
+        and refuses read-only (mmap-loaded) rows, which copy_on_write
+        handles fine."""
+        target = np.array(self.data) if copy_on_write else self.data
+        if not target.flags.writeable:
             raise ValueError(
                 "database rows are read-only (mmap load); "
-                "load(mmap=False) to make an updatable copy"
+                "load(mmap=False) or update_slots(copy_on_write=True)"
             )
         for idx, payload in updates.items():
             if not 0 <= idx < self.db_size:
@@ -113,7 +122,9 @@ class Database(DBMetadata):
                 )
             row = np.zeros(self.slot_bytes, dtype=np.uint8)
             row[: len(b)] = np.frombuffer(b, dtype=np.uint8)
-            self.data[idx] = row
+            target[idx] = row
+        if copy_on_write:
+            self.data = target
 
     # ---- persistence (checkpoint/resume; the reference rebuilds the DB
     # in memory each run, SURVEY.md §5) ----

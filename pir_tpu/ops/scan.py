@@ -49,6 +49,20 @@ def pack_table_u32(data: np.ndarray, height: int, group_size: int) -> np.ndarray
     return arr.view("<u4").reshape(height, group_size * words)
 
 
+def pack_rows_u32(data: np.ndarray, rows: np.ndarray, group_size: int,
+                  slot_bytes: int) -> np.ndarray:
+    """pack_table_u32's row layout for just the given grid rows — the
+    live-update patch values (engines scatter these over cached word
+    tables, server.py/mesh.py apply_updates)."""
+    words = max(1, -(-slot_bytes // 4))
+    h = data.shape[0] // group_size
+    arr = np.zeros((len(rows), group_size, words * 4), dtype=np.uint8)
+    arr[:, :, :slot_bytes] = data[: h * group_size].reshape(
+        h, group_size, slot_bytes
+    )[rows]
+    return arr.view("<u4").reshape(len(rows), group_size * words)
+
+
 def unpack_result_u32(res: np.ndarray, group_size: int, slot_bytes: int) -> np.ndarray:
     """(G*words,) uint32 -> (G, slot_bytes) uint8."""
     words = max(1, -(-slot_bytes // 4))

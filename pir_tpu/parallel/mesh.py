@@ -19,6 +19,7 @@ choice (subtree split of the same DPF), invisible to the protocol.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -291,6 +292,9 @@ class MeshPirServer:
         self._tables: dict[tuple, object] = {}
         self._perms: dict[tuple, object] = {}
         self._steps: dict[tuple, object] = {}
+        # serializes table builds against live updates (apply_updates):
+        # a build that read pre-update rows must not land after a patch
+        self._lock = threading.RLock()
 
     # ---- live updates ----
 
@@ -298,24 +302,26 @@ class MeshPirServer:
         """Apply live slot updates to the mesh-resident tables: one
         row-scatter per cached layout (the tables are natural-row-order
         packed u32 words, so positions are the grid rows themselves).
-        See TpuPirServer.apply_updates for the serving rationale."""
-        self.db.update_slots(updates)
-        idxs = np.unique(np.fromiter((int(i) for i in updates),
-                                     dtype=np.int64, count=len(updates)))
-        sb = self.db.slot_bytes
-        for (g, rows_per_shard), tbl in list(self._tables.items()):
-            h = self.db.db_size // g
-            r = np.unique(idxs // g)
-            r = r[r < h]
-            if not len(r):
-                continue
-            words = max(1, -(-sb // 4))
-            arr = np.zeros((len(r), g, words * 4), dtype=np.uint8)
-            arr[:, :, :sb] = self.db.data[: h * g].reshape(h, g, sb)[r]
-            vals = arr.view("<u4").reshape(len(r), g * words)
-            self._tables[(g, rows_per_shard)] = (
-                jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
-            )
+        See TpuPirServer.apply_updates for the serving rationale. Runs
+        under the table lock so a concurrent first-use build can never
+        insert a pre-update table after the patch loop ran."""
+        from ..ops.scan import pack_rows_u32
+
+        with self._lock:
+            self.db.update_slots(updates, copy_on_write=True)
+            idxs = np.unique(np.fromiter((int(i) for i in updates),
+                                         dtype=np.int64, count=len(updates)))
+            sb = self.db.slot_bytes
+            for (g, rows_per_shard), tbl in list(self._tables.items()):
+                h = self.db.db_size // g
+                r = np.unique(idxs // g)
+                r = r[r < h]
+                if not len(r):
+                    continue
+                vals = pack_rows_u32(self.db.data, r, g, sb)
+                self._tables[(g, rows_per_shard)] = (
+                    jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
+                )
 
     # ---- geometry + caches ----
 
@@ -324,10 +330,13 @@ class MeshPirServer:
 
         key = (group_size, rows_per_shard)
         if key not in self._tables:
-            h = self.db.db_size // group_size
-            table = pack_table_u32(self.db.data, h, group_size)
-            table = pad_table_rows(table, self.n_shards * rows_per_shard)
-            self._tables[key] = jax.device_put(jnp.asarray(table))
+            with self._lock:
+                if key not in self._tables:
+                    h = self.db.db_size // group_size
+                    table = pack_table_u32(self.db.data, h, group_size)
+                    table = pad_table_rows(table,
+                                           self.n_shards * rows_per_shard)
+                    self._tables[key] = jax.device_put(jnp.asarray(table))
         return self._tables[key]
 
     def _step(self, kind: str, d_levels: int):

@@ -437,15 +437,10 @@ class TpuPirServer:
     # ---- live updates ----
 
     def _packed_u32_rows(self, group_size: int, rows: np.ndarray) -> np.ndarray:
-        """pack_table_u32's row layout for just the given grid rows."""
-        sb = self.db.slot_bytes
-        words = max(1, -(-sb // 4))
-        h = self.db.db_size // group_size
-        arr = np.zeros((len(rows), group_size, words * 4), dtype=np.uint8)
-        arr[:, :, :sb] = self.db.data[: h * group_size].reshape(
-            h, group_size, sb
-        )[rows]
-        return arr.view("<u4").reshape(len(rows), group_size * words)
+        from .ops.scan import pack_rows_u32
+
+        return pack_rows_u32(self.db.data, rows, group_size,
+                             self.db.slot_bytes)
 
     def apply_updates(self, updates: dict[int, bytes]) -> None:
         """Apply live slot updates to every device-resident table.
@@ -457,8 +452,10 @@ class TpuPirServer:
         patched with one device row-scatter: O(changed rows) transfer,
         not O(table). Queries concurrent with the patch see the old or
         the new row atomically per table (the scatter swaps whole
-        buffers); keyword bit-planes are untouched (they derive from
-        ``db.keywords``, which updates leave as-is)."""
+        buffers, and ``db.data`` swaps copy-on-write for the tiny-domain
+        host-fallback paths that scan it directly); keyword bit-planes
+        are untouched (they derive from ``db.keywords``, which updates
+        leave as-is)."""
         import jax.numpy as jnp
 
         from .dpf.device import (
@@ -470,7 +467,7 @@ class TpuPirServer:
         from .ops.matmul_scan import make_plane_table
 
         with self._cache_lock:
-            self.db.update_slots(updates)
+            self.db.update_slots(updates, copy_on_write=True)
             idxs = np.unique(
                 np.fromiter((int(i) for i in updates), dtype=np.int64,
                             count=len(updates))
@@ -1031,6 +1028,12 @@ class FastServingStream:
         self._prev = None  # previous batch's (queries,) for slicing
         self._step = None
         self._table_key = None
+
+    def _table(self):
+        """Resolve the serving table per dispatch (not pinned at stream
+        start) so live updates (apply_updates) reach an open stream at
+        the next batch — the cache returns the latest patched buffer."""
+        return self._srv._root_table_u8(*self._table_key)
 
     def _prepare(self, queries):
         import jax

@@ -95,6 +95,31 @@ def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
     return data[0], data[1:]
 
 
+def _pack_blobs(blobs: list[bytes]) -> bytes:
+    """u32 count ‖ (u32 len ‖ blob)* — the batch container format."""
+    return struct.pack("<I", len(blobs)) + b"".join(
+        struct.pack("<I", len(b)) + b for b in blobs
+    )
+
+
+def _decode_result_batch(op: int, payload: bytes):
+    """Decode a batch-of-shared-results response frame (or raise the
+    error it carries) — the one place the container format is parsed."""
+    if op == OP_DENIED:
+        raise PermissionError(payload.decode())
+    if op == OP_ERROR:
+        raise RuntimeError(payload.decode())
+    (count,) = struct.unpack_from("<I", payload, 0)
+    off = 4
+    results = []
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        results.append(wire.deserialize_shared_result(payload[off:off + ln]))
+        off += ln
+    return results
+
+
 class PirService:
     """One logical PIR server hosting a database share-answering endpoint.
 
@@ -344,12 +369,14 @@ class PirService:
         query protocol must not let clients mutate the table). Engines
         holding device-resident tables patch them in place
         (TpuPirServer/MeshPirServer.apply_updates); host/native engines
-        read db.data directly, so the row mutation suffices."""
+        read db.data at scan time, so the rows swap copy-on-write —
+        in-flight scans finish on the old buffer and never see a torn
+        row."""
         eng = self._engine
         if eng is not None and hasattr(eng, "apply_updates"):
             eng.apply_updates(updates)
         else:
-            self.db.update_slots(updates)
+            self.db.update_slots(updates, copy_on_write=True)
 
     @staticmethod
     def _parse_share_batch(payload: bytes) -> list[QueryShare]:
@@ -366,23 +393,24 @@ class PirService:
 
     @staticmethod
     def _pack_results(results: list[SecretSharedQueryResult]) -> bytes:
-        blobs = [wire.serialize_shared_result(r) for r in results]
-        return struct.pack("<I", len(blobs)) + b"".join(
-            struct.pack("<I", len(b)) + b for b in blobs
-        )
+        return _pack_blobs([wire.serialize_shared_result(r) for r in results])
 
     def _stream_submit(self, ctx: dict, shares: list[QueryShare]) -> bytes:
         """One serving-stream step: dispatch `shares`, answer the batch
         submitted on the previous step (one-batch lag, see OP_STREAM_*)."""
         from .server import TpuPirServer
 
+        if not shares:
+            raise ValueError("empty stream batch")
         st = ctx.get("stream")
         if st is None:
             st = ctx["stream"] = {"mode": None, "obj": None, "pending": None}
         scan = self.db.db_size * self.db.slot_bytes
         if st["mode"] is None:
             # decide once per stream: the fused device stream when the
-            # TPU engine accepts the batch shape, else shell emulation
+            # TPU engine accepts the batch, else shell emulation — on
+            # ANY engine refusal (shape, mode, kernel availability), so
+            # the wire contract stays engine-independent
             if isinstance(self._engine, TpuPirServer):
                 try:
                     stream = self._engine.fast_serving_stream()
@@ -391,8 +419,8 @@ class PirService:
                     st["mode"], st["obj"] = "fused", stream
                     st["pending"] = len(shares)
                     return self._pack_results([])
-                except ValueError:
-                    pass  # non-uniform/compat/keyword batch: emulate
+                except Exception:  # non-uniform/compat/keyword/no-kernel
+                    pass
             st["mode"] = "emul"
         if st["mode"] == "fused":
             fut = st["obj"].submit(shares)
@@ -665,10 +693,7 @@ class PirClient:
         answers = []
         with self._lock:
             for sock, blobs in zip(self._socks, per_server):
-                payload = struct.pack("<I", len(blobs)) + b"".join(
-                    struct.pack("<I", len(b)) + b for b in blobs
-                )
-                _send_frame(sock, OP_QUERY_BATCH, payload)
+                _send_frame(sock, OP_QUERY_BATCH, _pack_blobs(blobs))
             for sock in self._socks:
                 answers.append(self._recv_result_batch(sock))
         return [
@@ -678,22 +703,7 @@ class PirClient:
 
     @staticmethod
     def _recv_result_batch(sock) -> list[SecretSharedQueryResult]:
-        op, payload = _recv_frame(sock)
-        if op == OP_DENIED:
-            raise PermissionError(payload.decode())
-        if op == OP_ERROR:
-            raise RuntimeError(payload.decode())
-        (count,) = struct.unpack_from("<I", payload, 0)
-        off = 4
-        results = []
-        for _ in range(count):
-            (ln,) = struct.unpack_from("<I", payload, off)
-            off += 4
-            results.append(
-                wire.deserialize_shared_result(payload[off:off + ln])
-            )
-            off += ln
-        return results
+        return _decode_result_batch(*_recv_frame(sock))
 
     def open_stream(self, group_size: int = 1) -> "PirClientStream":
         """Open a steady-state serving stream (OP_STREAM_*): each submit
@@ -961,7 +971,6 @@ class PirClientStream:
 
     def _fan_out(self, opcode: int, payloads) -> list[list]:
         c = self._c
-        frames = []
         with c._lock:
             for sock, payload in zip(c._socks, payloads):
                 _send_frame(sock, opcode, payload)
@@ -969,24 +978,7 @@ class PirClientStream:
             # (e.g. a shape-mismatch refusal) never leaves another
             # socket's response buffered and the connections desynced
             frames = [_recv_frame(sock) for sock in c._socks]
-        answers = []
-        for op, payload in frames:
-            if op == OP_DENIED:
-                raise PermissionError(payload.decode())
-            if op == OP_ERROR:
-                raise RuntimeError(payload.decode())
-            (count,) = struct.unpack_from("<I", payload, 0)
-            off = 4
-            results = []
-            for _ in range(count):
-                (ln,) = struct.unpack_from("<I", payload, off)
-                off += 4
-                results.append(
-                    wire.deserialize_shared_result(payload[off:off + ln])
-                )
-                off += ln
-            answers.append(results)
-        return answers
+        return [_decode_result_batch(op, payload) for op, payload in frames]
 
     def _recover(self, answers: list[list], n: int):
         c = self._c
@@ -1008,13 +1000,9 @@ class PirClientStream:
         for shares in share_lists:
             for k, share in enumerate(shares):
                 per_server[k].append(wire.serialize_query_share(share))
-        payloads = [
-            struct.pack("<I", len(blobs)) + b"".join(
-                struct.pack("<I", len(b)) + b for b in blobs
-            )
-            for blobs in per_server
-        ]
-        answers = self._fan_out(OP_STREAM_SUBMIT, payloads)
+        answers = self._fan_out(
+            OP_STREAM_SUBMIT, [_pack_blobs(blobs) for blobs in per_server]
+        )
         n_prev, self._n_prev = self._n_prev, len(share_lists)
         if n_prev is None:
             if any(a for a in answers):

@@ -81,23 +81,7 @@ def test_stream_fused_on_tpu_engine():
     try:
         batches = [[int(i) for i in rng.integers(0, db.db_size, size=16)]
                    for _ in range(3)]
-        client = PirClient([s.address for s in services])
-        for s in services:
-            s._answer_batch = lambda shares: (_ for _ in ()).throw(
-                AssertionError("stream fell back to emulation"))
-        try:
-            stream = client.open_stream()
-            outs = []
-            for i, idxs in enumerate(batches):
-                res = stream.submit(idxs)
-                assert (res is None) == (i == 0)
-                if res is not None:
-                    outs.append(res)
-            outs.append(stream.flush())
-            for idxs, got in zip(batches, outs):
-                _check(db, idxs, got)
-        finally:
-            client.close()
+        _run_stream(db, services, batches, forbid_emulation=True)
     finally:
         for s in services:
             s.close()
