@@ -69,6 +69,27 @@ def test_stream_emulated_on_host_engine():
             s.close()
 
 
+def test_stream_group_size():
+    """Streams honor group_size: each recovered query is the whole
+    group of adjacent slots (query.go:21 semantics)."""
+    db = generate_random_db(1 << 9, 8)
+    services = [PirService(db).start() for _ in range(2)]
+    try:
+        client = PirClient([s.address for s in services])
+        stream = client.open_stream(group_size=2)
+        rows = [3, 200]  # row r covers slots [2r, 2r+1]
+        assert stream.submit(rows) is None
+        res = stream.flush()
+        for r, slots in zip(rows, res):
+            assert len(slots) == 2
+            for c in (0, 1):
+                assert bytes(slots[c].data) == db.data[2 * r + c].tobytes()
+        client.close()
+    finally:
+        for s in services:
+            s.close()
+
+
 def test_stream_fused_on_tpu_engine():
     """End-to-end over real sockets through the fused overlap kernel
     (interpret mode on CPU; compiled-TPU behavior is benchmarks_fused.py's
