@@ -303,6 +303,14 @@ def worker():
         pipe_reps -= 1
     pipe_batches = [make_batch()[0] for _ in range(pipe_reps)]
     overlap = fast and os.environ.get("BENCH_OVERLAP") == "1"
+    if overlap:
+        # compile warmup OUTSIDE the timed loop: the first submit jits
+        # the fused scan+expand step (minutes on a cold remote cache)
+        t0 = time.perf_counter()
+        ws = server.fast_serving_stream()
+        retry(lambda: ws.submit(pipe_batches[0]), "stream compile+run")
+        ws.flush()()
+        log(f"stream warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
     fins, n_out = [], 0
     if overlap:

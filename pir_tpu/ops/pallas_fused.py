@@ -8,7 +8,10 @@ BOTH in every grid step — one query-slice of batch i's packed-bits scan
 against a table tile, and one slice of batch i+1's tail expansion — so
 the Mosaic scheduler can co-issue MXU matmuls with the AES gate stream.
 Ceiling if the units overlap fully: ~1.7x end-to-end (the XLA head and
-glue stay serial).
+glue stay serial). Measured (r3, docs/PERFORMANCE.md): the overlap does
+NOT beat the default async pipeline at the serving shape (7,024 vs
+7,850 GB/s same-window) — this kernel is the serving-stream backend
+(one dispatch per batch, bounded memory), not the throughput headline.
 
 Geometry: grid (n_qslices, n_cols, n_rows), rows innermost. The scan
 processes the Q query bits in `q_slice`-wide slices (the bits block
@@ -76,21 +79,32 @@ def _fused_kernel(levels: int):
             tail_out_ref[sq] = prg ^ (t[None] & fcw_ref[sq])
 
         # ---- scan step of batch i (MXU: packed bits x table planes) ----
+        # The unpack runs in 8-word (256-row) chunks: a monolithic
+        # (wpb, 32, q_slice) u32 shift intermediate is 16.8 MB at the
+        # serving geometry (br=2048, q_slice=2048) and blows the 16 MB
+        # scoped-VMEM stack (measured on chip); chunking caps the live
+        # intermediate at ~2 MB. Parity of a sum = XOR of parities, so
+        # each chunk's folded bytes XOR straight into the accumulator —
+        # bit-for-bit the same answer as the one-shot contraction.
         rows = table_ref[...]  # (BR, BC) uint8
-        words = words_ref[...]  # (BR // 32, q_slice) uint32
-        wpb, qsl = words.shape
+        wpb = words_ref.shape[0]
         shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
-        bits_t = ((words[:, None, :] >> shifts) & jnp.uint32(1)).astype(
-            jnp.int8
-        ).reshape(wpb * 32, qsl)
         contract = (((0,), (0,)), ((), ()))
-        folded = jnp.zeros(acc_ref.shape, jnp.int32)
-        for p in range(8):
-            plane = (rows & np.uint8(1 << p) != 0).astype(jnp.int8)
-            d = jax.lax.dot_general(bits_t, plane, contract,
-                                    preferred_element_type=jnp.int32)
-            folded = folded | ((d & 1) << p)
-        acc_ref[...] ^= folded
+        wc = 8  # words (x32 rows) per chunk
+        for c in range(0, wpb, wc):
+            words = words_ref[c:c + wc]  # (wc, q_slice) uint32
+            qsl = words.shape[1]
+            bits_t = ((words[:, None, :] >> shifts) & jnp.uint32(1)).astype(
+                jnp.int8
+            ).reshape(wc * 32, qsl)
+            rows_c = rows[c * 32:(c + wc) * 32]
+            folded = jnp.zeros(acc_ref.shape, jnp.int32)
+            for p in range(8):
+                plane = (rows_c & np.uint8(1 << p) != 0).astype(jnp.int8)
+                d = jax.lax.dot_general(bits_t, plane, contract,
+                                        preferred_element_type=jnp.int32)
+                folded = folded | ((d & 1) << p)
+            acc_ref[...] ^= folded
 
         @pl.when(i == pl.num_programs(2) - 1)
         def _():
