@@ -626,6 +626,121 @@ def unpack_fast_root_payload(payload, layout: FastRootLayout):
     return seeds, t_init, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf
 
 
+def unpack_fast_root_payload_lanes(payloads, layout: FastRootLayout):
+    """Batched device-side unpack with the QUERY axis in lanes.
+
+    The vmapped per-query unpack/head puts Q at axis 0, leaving the word
+    axis (NW = 1 for the first five levels) in the TPU lane dimension —
+    up to 128x lane-padding waste, measured as ~2/3 of fast-mode
+    expansion time (benchmarks_fast_roof.py). This unpack instead emits
+    arrays whose LAST axis is Q, so every elementwise op in the head
+    runs on full (16, Q) tiles regardless of tree level.
+
+    payloads (Q, total) uint32 ->
+      seeds (8,16,Q) bit values, t_init (Q,) mask words,
+      cw_s (d,8,16,Q) masks, cw_tl / cw_tr (d,Q) masks,
+      fcw (Q,8,16) masks (per-query, for the tail kernel).
+    Round keys are not unpacked here: the shared-rk caller takes them
+    from payload row 0 via unpack_fast_root_payload.
+    """
+    d = layout.depth
+    q_n = payloads.shape[0]
+    offs = np.cumsum((0,) + layout.sizes)
+    seg = [payloads[:, offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
+    seeds = jnp.transpose(_unpack_block_bits(seg[0]), (1, 2, 0))  # (8,16,Q)
+    t_init = seg[1][:, 0]  # (Q,) mask words
+    if d:
+        cw = _unpack_block_masks(seg[2].reshape(q_n, d, 4))  # (Q,d,8,16)
+        cw_s = jnp.transpose(cw, (1, 2, 3, 0))  # (d,8,16,Q)
+    else:
+        cw_s = jnp.zeros((0, 8, 16, q_n), jnp.uint32)
+    lvl = jnp.arange(max(d, 1), dtype=jnp.uint32)[:d, None]
+    cw_tl = jnp.uint32(0) - ((seg[3][None, :, 0] >> lvl) & jnp.uint32(1))
+    cw_tr = jnp.uint32(0) - ((seg[4][None, :, 0] >> lvl) & jnp.uint32(1))
+    fcw = _unpack_block_masks(seg[5])  # (Q,8,16)
+    return seeds, t_init, cw_s, cw_tl, cw_tr, fcw
+
+
+def _expand_root_level_lanes(seeds, t_plane, cw_seed_mask, cw_tl, cw_tr,
+                             rk_masks, i: int, w: int):
+    """One root-expansion level over a flattened (word, query) lane axis.
+
+    seeds (8,16,W*Q) / t_plane (W*Q,) hold W = max(1, 2^i // 32) packed
+    words per query, word-major (flat index w*Q + q, so per-query masks
+    tile along the flat axis). cw_seed_mask (8,16,Q), cw_tl/cw_tr (Q,).
+    Identical algebra to _expand_root_level — only the batching layout
+    differs — so outputs are bit-for-bit equal after regrouping.
+    """
+    if w > 1:
+        cw_seed_mask = jnp.tile(cw_seed_mask, (1, 1, w))
+        cw_tl = jnp.tile(cw_tl, w)
+        cw_tr = jnp.tile(cw_tr, w)
+    out = _prf_triple(seeds, rk_masks)
+    s_l, t_l, s_r, t_r = _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr)
+    if i < 5:
+        lo = jnp.uint32((1 << (1 << i)) - 1)
+        shift = jnp.uint32(1 << i)
+        seeds = (s_l & lo) | ((s_r & lo) << shift)
+        t_plane = (t_l & lo) | ((t_r & lo) << shift)
+    else:
+        # [L words, R words] along the flat axis keeps word-major order:
+        # per query, word j < W comes from L, j >= W from R — the same
+        # word layout _expand_root_level produces per query.
+        seeds = jnp.concatenate([s_l, s_r], axis=-1)
+        t_plane = jnp.concatenate([t_l, t_r], axis=-1)
+    return seeds, t_plane
+
+
+def expand_root_head_lanes(payloads, layout: FastRootLayout, rk_masks,
+                           head_levels: int):
+    """Batch-shared-key root head with Q in lanes (full VPU tiles).
+
+    Returns tail-kernel-ready arrays: seeds (Q,8,16,NW0), t (Q,1,NW0),
+    cw_s (Q,tail,8,16,1), cw_tl / cw_tr (Q,tail), fcw (Q,8,16,1), where
+    NW0 = max(1, 2^head_levels // 32) and tail = depth - head_levels.
+    """
+    q_n = payloads.shape[0]
+    seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+        payloads, layout)
+    for i in range(head_levels):
+        w = max(1, (1 << i) // 32)
+        seeds, t = _expand_root_level_lanes(
+            seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
+    nw0 = max(1, (1 << head_levels) // 32)
+    seeds = seeds.reshape(8, 16, nw0, q_n).transpose(3, 0, 1, 2)
+    t = t.reshape(nw0, q_n).T[:, None, :]
+    cw_s_tail = jnp.transpose(cw_s[head_levels:], (3, 0, 1, 2))[..., None]
+    cw_tl_tail = cw_tl[head_levels:].T
+    cw_tr_tail = cw_tr[head_levels:].T
+    return seeds, t, cw_s_tail, cw_tl_tail, cw_tr_tail, fcw[..., None]
+
+
+def expand_fast_root_lanes_full(payloads, layout: FastRootLayout, rk_masks,
+                                rk_leaf):
+    """All-XLA fast expansion with Q in lanes: (Q, total) payloads ->
+    (Q, 8, 16, NWf) packed leaf-output words (same convention as
+    fast_tail_expand_pallas). The whole tree walk AND the leaf PRG run
+    on (8, 16, W*Q) arrays — full VPU tiles at every level — with one
+    (8,16,NWf,Q) -> (Q,8,16,NWf) transpose at the end. Alternative to
+    the Pallas tail for batch-shared-key batches; pick by measurement
+    (benchmarks_fast_roof.py / exp logs in docs/PERFORMANCE.md).
+    """
+    q_n = payloads.shape[0]
+    seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+        payloads, layout)
+    for i in range(layout.depth):
+        w = max(1, (1 << i) // 32)
+        seeds, t = _expand_root_level_lanes(
+            seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
+    nwf = max(1, (1 << layout.depth) // 32)
+    fcw_t = jnp.transpose(fcw, (1, 2, 0))  # (8,16,Q)
+    if nwf > 1:
+        fcw_t = jnp.tile(fcw_t, (1, 1, nwf))
+    enc = aes_encrypt_planes(seeds, rk_leaf)
+    out = (enc ^ seeds) ^ (t[None, None, :] & fcw_t)
+    return out.reshape(8, 16, nwf, q_n).transpose(3, 0, 1, 2)
+
+
 def _bits_of_bytes_batch(data: np.ndarray) -> np.ndarray:
     """(..., n) uint8 -> (..., 8, n) bit planes {0,1} uint32 (LSB first)."""
     return (

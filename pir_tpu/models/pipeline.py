@@ -349,16 +349,24 @@ def fused_fast_root_batch_mxu_fn(layout, block: int = 8192):
 def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
                                     block_cols: int = 512,
                                     tail_levels: int = 2,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    all_xla_expand: bool = False):
     """Root-start batched fast answers with Pallas kernels on both hot
     stages: the AES tail walk + leaf PRG run per-query in VMEM
     (ops/pallas_expand.py) and the scan is the fused unpack+matmul
     kernel (ops/pallas_scan.py). Table is the storage-ordered u8 table.
 
+    all_xla_expand (batch-shared-key layouts only): skip the Pallas tail
+    and run the ENTIRE expansion — tree walk and leaf PRG — as XLA
+    elementwise ops with Q in the lane axis (device.py
+    expand_fast_root_lanes_full); bit-exact vs the tail kernel.
+
     jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8.
     """
     from ..dpf.device import (
         _expand_root_level,
+        expand_fast_root_lanes_full,
+        expand_root_head_lanes,
         unpack_fast_root_payload,
     )
     from ..ops.pallas_expand import fast_tail_expand_pallas
@@ -370,40 +378,51 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
 
     shared_rk = getattr(layout, "shared_rk", False)
 
-    def head(payload, rk_shared=None):
+    def head(payload):
         seeds, t, cw_s, cw_tl, cw_tr, fcw, rk, rk_leaf = (
             unpack_fast_root_payload(payload, layout)
         )
-        if rk_shared is not None:
-            rk = rk_shared  # batch-shared PRF keys: no per-query masks
         for i in range(head_levels):
             seeds, t = _expand_root_level(
                 seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk, i
             )
-        if rk_shared is not None:
-            return (seeds, t[None, :], cw_s[head_levels:],
-                    cw_tl[head_levels:], cw_tr[head_levels:], fcw)
         return (seeds, t[None, :], cw_s[head_levels:], cw_tl[head_levels:],
                 cw_tr[head_levels:], rk, fcw, rk_leaf)
+
+    if all_xla_expand and not shared_rk:
+        raise ValueError("all_xla_expand needs the batch-shared key layout")
 
     def fn(table_u8, payloads):
         if shared_rk:
             # one mask expansion for the whole batch (per-query masks pad
-            # to ~2 MiB/query under (8,128) tiling — the batch-4096 OOM)
+            # to ~2 MiB/query under (8,128) tiling — the batch-4096 OOM),
+            # and the head walks with Q in the LANE axis: the vmapped
+            # per-query head leaves the word axis (1 word for the first
+            # five levels) in lanes, ~128x pad waste that measured as
+            # ~2/3 of expansion time (benchmarks_fast_roof.py).
             _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
                 payloads[0], layout
             )
-            seeds, t, cw_s, cw_tl, cw_tr, fcw = jax.vmap(
-                lambda p: head(p, rk)
-            )(payloads)
+            if all_xla_expand:
+                packed = expand_fast_root_lanes_full(
+                    payloads, layout, rk, rk_leaf
+                )
+            else:
+                seeds, t, cw_s, cw_tl, cw_tr, fcw = expand_root_head_lanes(
+                    payloads, layout, rk, head_levels
+                )
+                packed = fast_tail_expand_pallas(
+                    seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
+                    levels=tail, interpret=interpret,
+                )
         else:
             seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf = jax.vmap(head)(
                 payloads
             )
-        packed = fast_tail_expand_pallas(
-            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
-            levels=tail, interpret=interpret,
-        )  # (Q, 8, 16, NWf): word (k*16+i)*NWf+w bit j = table row 32w'+j
+            packed = fast_tail_expand_pallas(
+                seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
+                levels=tail, interpret=interpret,
+            )  # (Q,8,16,NWf): word (k*16+i)*NWf+w bit j = table row 32w'+j
         q = packed.shape[0]
         words = packed.reshape(q, -1)  # (Q, flat // 32), free reshape
         rows, b = table_u8.shape
@@ -624,7 +643,10 @@ def fused_fast_overlap_step_fn(layout, tail_levels: int = 2,
     call takes zeros (its out is garbage, discarded) and the last batch
     drains with a zero payload (its tail output is discarded).
     """
-    from ..dpf.device import _expand_root_level, unpack_fast_root_payload
+    from ..dpf.device import (
+        expand_root_head_lanes,
+        unpack_fast_root_payload,
+    )
     from ..ops.pallas_fused import fused_geometry, fused_scan_expand_pallas
 
     if not getattr(layout, "shared_rk", False):
@@ -633,24 +655,15 @@ def fused_fast_overlap_step_fn(layout, tail_levels: int = 2,
     tail = max(0, min(tail_levels, depth - 5))
     head_levels = depth - tail
 
-    def head(payload, rk):
-        seeds, t, cw_s, cw_tl, cw_tr, fcw, _, _ = (
-            unpack_fast_root_payload(payload, layout)
-        )
-        for i in range(head_levels):
-            seeds, t = _expand_root_level(
-                seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk, i
-            )
-        return (seeds, t[None, :], cw_s[head_levels:], cw_tl[head_levels:],
-                cw_tr[head_levels:], fcw)
-
     def fn(table_u8, words_prev_t, payloads):
         _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
             payloads[0], layout
         )
-        seeds, t, cw_s, cw_tl, cw_tr, fcw = jax.vmap(
-            lambda p: head(p, rk)
-        )(payloads)
+        # Q-in-lanes head (full VPU tiles at every level; see the pallas
+        # batch path above for the measured rationale)
+        seeds, t, cw_s, cw_tl, cw_tr, fcw = expand_root_head_lanes(
+            payloads, layout, rk, head_levels
+        )
         q = seeds.shape[0]
         rows, b = table_u8.shape
         geo = fused_geometry(rows, b, q, q)

@@ -187,7 +187,11 @@ class TpuPirServer:
                  plane_table_budget: int = 6 << 30,
                  compat_batch_chunk: int = 8,
                  use_pallas: bool | None = None,
-                 pallas_tail_levels: int = 2,
+                 # 5 measured fastest at the serving shape: levels 8-12
+                 # + leaf run in the Pallas tail at the AES ALU roof,
+                 # leaving only the cheap sub-word levels to XLA (r3
+                 # sweep, docs/PERFORMANCE.md; 2 was 1.5x slower)
+                 pallas_tail_levels: int = 5,
                  compat_pallas_w: int = 128,
                  compat_pallas_max_tail: int = 3,
                  compat_pallas_q_chunk: int = 16,

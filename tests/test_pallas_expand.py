@@ -138,6 +138,42 @@ def test_pallas_batch_path_shared_prf_keys():
         assert rec[k].tobytes() == db.data[i].tobytes(), (k, i)
 
 
+def test_all_xla_expand_matches_pallas_tail():
+    """The all-XLA Q-in-lanes expansion (expand_fast_root_lanes_full:
+    tree walk AND leaf PRG as lane-batched elementwise ops, no Pallas
+    tail kernel) must agree with the Pallas-tail path bit-for-bit and
+    recover the true slots."""
+    from pir_tpu.dpf.device import scatter_rows_to_storage_order
+    from pir_tpu.ops.matmul_scan import pad_rows_u8
+
+    rng = random.Random(11)
+    # 3000 rows: non-power-of-two height, depth > 0 with padded leaves
+    db = generate_random_db(3000, 8)
+    md = db.metadata()
+    idxs = [rng.randrange(db.db_size) for _ in range(4)]
+    sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
+
+    depth = sh[0][0].key_fast.depth
+    flat = 128 << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size)
+    tab = jnp.asarray(pad_rows_u8(
+        scatter_rows_to_storage_order(db.data, perm, flat), 512))
+
+    outs = []
+    for s in range(2):
+        pay, layout = make_fast_payload_batch([x[s] for x in sh])
+        assert layout.shared_rk
+        want = np.asarray(fused_fast_root_batch_pallas_fn(
+            layout, 512, 8, 1, True)(tab, pay))
+        got = np.asarray(fused_fast_root_batch_pallas_fn(
+            layout, 512, 8, 1, True, all_xla_expand=True)(tab, pay))
+        assert (got == want).all(), s
+        outs.append(got)
+    rec = outs[0] ^ outs[1]
+    for k, i in enumerate(idxs):
+        assert rec[k].tobytes() == db.data[i].tobytes(), (k, i)
+
+
 def test_pallas_batch_q_slicing_matches_unsliced(monkeypatch):
     """Batches above _SCAN_Q_VMEM run the packed scan in Q-slices (the
     kernel's Q-scaled VMEM blocks OOM at 8192 on real hardware); sliced
