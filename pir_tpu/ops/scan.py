@@ -18,7 +18,8 @@ import numpy as np
 
 
 def xor_reduce(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return jax.lax.reduce(x, jnp.uint32(0), jax.lax.bitwise_xor, (axis,))
+    return jax.lax.reduce(x, jnp.zeros((), x.dtype), jax.lax.bitwise_xor,
+                          (axis,))
 
 
 @jax.jit

@@ -267,6 +267,154 @@ def make_sharded_fast_answer_step(mesh: Mesh, d_levels: int):
     return jax.jit(mapped)
 
 
+def make_sharded_fast_root_step(mesh: Mesh, layout, shard_levels: int,
+                                tail_levels: int = 5,
+                                block_rows: int = 2048,
+                                block_cols: int = 512,
+                                interpret: bool = False):
+    """Root-start multi-chip fast step — the single-chip serving pipeline
+    per shard, with NO per-query host work.
+
+    The client payload is IDENTICAL to the single-chip batched path
+    (make_fast_payload_batch, batch-shared keys): each tp shard unpacks
+    it on device, walks its static `shard_levels`-level subtree prefix
+    (child chosen per level by the bits of jax.lax.axis_index('tp'), at
+    full Q lanes), then runs the exact serving kernels — Q-in-lanes XLA
+    head, Pallas AES tail + leaf PRG, packed-bits MXU scan — over its
+    shard-local storage-ordered u8 table slice, and the per-shard answer
+    shares XOR-combine over ICI (db.go:256-261's partial merge at
+    deployment scale). Requires tp = 2^shard_levels.
+
+    step(table (tp * flat_local_pad, B) u8  P('tp', None),
+         payloads (Q, L) uint32             P('dp', None))
+      -> (Q, B) uint8                       P('dp', None)
+    """
+    from ..dpf.device import (
+        _children,
+        _expand_root_level_lanes,
+        _prf_triple,
+        unpack_fast_root_payload,
+        unpack_fast_root_payload_lanes,
+    )
+    from ..models.pipeline import scan_tile_sizes
+    from ..ops.pallas_expand import fast_tail_expand_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
+
+    if not getattr(layout, "shared_rk", False):
+        raise ValueError("root-start mesh step needs the batch-shared "
+                         "key layout (batch keygen)")
+    depth = layout.depth
+    if shard_levels > depth:
+        raise ValueError(f"cannot shard {1 << shard_levels} ways: the "
+                         f"fast tree has only {depth} levels")
+    d_local = depth - shard_levels
+    tail = max(0, min(tail_levels, d_local - 5))
+    head_local = d_local - tail
+
+    def local(table_s, payloads):
+        q_n = payloads.shape[0]
+        _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+            payloads[0], layout
+        )
+        seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+            payloads, layout
+        )
+        s_idx = jax.lax.axis_index("tp")
+        one = jnp.uint32(1)
+        # static subtree-prefix walk: one PRF triple per level at full Q
+        # lanes, child selected by the shard index bit (MSB-first, the
+        # tree's bit order); occupancy stays 1 bit/word so everything is
+        # masked back to bit 0 (the cw correction smears mask-word t
+        # bits into the upper lanes otherwise).
+        for l in range(shard_levels):
+            out = _prf_triple(seeds, rk)
+            s_l, t_l, s_r, t_r = _children(
+                out, t, cw_s[l], cw_tl[l], cw_tr[l]
+            )
+            bit = (s_idx >> (shard_levels - 1 - l)) & 1
+            m = jnp.uint32(0) - bit.astype(jnp.uint32)
+            seeds = (s_l ^ ((s_l ^ s_r) & m)) & one
+            t = (t_l ^ ((t_l ^ t_r) & m)) & one
+        # local Q-in-lanes head over the shard's subtree
+        for j in range(head_local):
+            w = max(1, (1 << j) // 32)
+            g_l = shard_levels + j
+            seeds, t = _expand_root_level_lanes(
+                seeds, t, cw_s[g_l], cw_tl[g_l], cw_tr[g_l], rk, j, w
+            )
+        nw0 = max(1, (1 << head_local) // 32)
+        seeds = seeds.reshape(8, 16, nw0, q_n).transpose(3, 0, 1, 2)
+        t = t.reshape(nw0, q_n).T[:, None, :]
+        lo = shard_levels + head_local
+        cw_s_t = jnp.transpose(cw_s[lo:], (3, 0, 1, 2))[..., None]
+        packed = fast_tail_expand_pallas(
+            seeds, t, cw_s_t, cw_tl[lo:].T, cw_tr[lo:].T, rk,
+            fcw[..., None], rk_leaf, levels=tail, interpret=interpret,
+        )
+        words = packed.reshape(q_n, -1)
+        rows, b = table_s.shape
+        flat = words.shape[1] * 32
+        if rows > flat:
+            words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
+        br, bc = scan_tile_sizes(q_n, rows, b,
+                                 max_br=block_rows, max_bc=block_cols)
+        partial = mxu_batched_scan_packed_pallas(
+            table_s, words.T, block_rows=br, block_cols=bc,
+            interpret=interpret,
+        )
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_root_table_u8(data: np.ndarray, height: int,
+                                group_size: int, slot_bytes: int,
+                                depth: int, shard_levels: int,
+                                pad_to: int = 8192) -> np.ndarray:
+    """Shard-local storage-ordered u8 table for the root-start mesh step.
+
+    Shard s owns natural rows [s * rows_per_shard, (s+1) * rows_per_shard)
+    scattered by the LOCAL bit-reversal perm (the same layout the
+    shard's local expansion emits); each shard slice is zero-padded to a
+    common multiple-of-`pad_to` length and the slices are stacked so
+    P('tp') sharding hands slice s to tp shard s.
+    """
+    from ..dpf.device import (
+        _fast_leaf_perm_root,
+        scatter_rows_to_storage_order,
+    )
+    from ..ops.matmul_scan import pad_rows_u8
+
+    d_local = depth - shard_levels
+    n_shards = 1 << shard_levels
+    rows_per_shard = 128 << d_local
+    flat_local = 128 << d_local
+    h = height // group_size
+    row_bytes = group_size * slot_bytes
+    rows = data[: h * group_size].reshape(h, row_bytes)
+    slices = []
+    for s in range(n_shards):
+        lo = s * rows_per_shard
+        local_h = min(max(h - lo, 0), rows_per_shard)
+        if local_h:
+            perm = _fast_leaf_perm_root(d_local, local_h)
+            sc = scatter_rows_to_storage_order(
+                rows[lo:lo + local_h], perm, flat_local
+            )
+        else:
+            sc = np.zeros((flat_local, row_bytes), dtype=np.uint8)
+        slices.append(pad_rows_u8(sc, pad_to))
+    return np.concatenate(slices, axis=0)
+
+
 class MeshPirServer:
     """Multi-chip serving engine: same query surface as TpuPirServer but
     every batch is answered by the whole device mesh (tp = DB rows,
@@ -292,6 +440,10 @@ class MeshPirServer:
         self._tables: dict[tuple, object] = {}
         self._perms: dict[tuple, object] = {}
         self._steps: dict[tuple, object] = {}
+        # root-start path (shared-key fast batches on a 2^k-way tp axis):
+        # (g, depth) -> (device table, per-shard padded length)
+        self._root_tables: dict[tuple, tuple] = {}
+        self._root_steps: dict[tuple, object] = {}
         # serializes table builds against live updates (apply_updates):
         # a build that read pre-update rows must not land after a patch
         self._lock = threading.RLock()
@@ -322,6 +474,40 @@ class MeshPirServer:
                 self._tables[(g, rows_per_shard)] = (
                     jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
                 )
+            for (g, depth), (tbl, padded_len) in list(self._root_tables.items()):
+                pos, vals = self._root_update_rows(idxs, g, depth, padded_len)
+                if pos is None:
+                    continue
+                self._root_tables[(g, depth)] = (
+                    tbl.at[jnp.asarray(pos)].set(jnp.asarray(vals)),
+                    padded_len,
+                )
+
+    def _root_update_rows(self, idxs, g, depth, padded_len):
+        """Storage positions + fresh row bytes for changed rows in a
+        root-start sharded u8 table (one scatter per layout)."""
+        from ..dpf.device import _fast_leaf_perm_root
+
+        h = self.db.db_size // g
+        r = np.unique(idxs // g)
+        r = r[r < h]
+        if not len(r):
+            return None, None
+        shard_levels = self.n_shards.bit_length() - 1
+        d_local = depth - shard_levels
+        rows_per_shard = 128 << d_local
+        s = r // rows_per_shard
+        r_loc = r % rows_per_shard
+        pos = np.empty(len(r), dtype=np.int64)
+        for sh in np.unique(s):
+            local_h = min(max(h - int(sh) * rows_per_shard, 0),
+                          rows_per_shard)
+            perm = _fast_leaf_perm_root(d_local, local_h)
+            m = s == sh
+            pos[m] = int(sh) * padded_len + perm[r_loc[m]]
+        row_bytes = g * self.db.slot_bytes
+        vals = self.db.data[: h * g].reshape(h, row_bytes)[r]
+        return pos, vals
 
     # ---- geometry + caches ----
 
@@ -348,6 +534,69 @@ class MeshPirServer:
                 else make_sharded_answer_step(self.mesh, d_levels)
             )
         return self._steps[key]
+
+    def _root_table(self, group_size: int, depth: int):
+        from jax.sharding import NamedSharding
+
+        key = (group_size, depth)
+        if key not in self._root_tables:
+            with self._lock:
+                if key not in self._root_tables:
+                    shard_levels = self.n_shards.bit_length() - 1
+                    table = build_sharded_root_table_u8(
+                        self.db.data, self.db.db_size, group_size,
+                        self.db.slot_bytes, depth, shard_levels,
+                    )
+                    padded_len = table.shape[0] // self.n_shards
+                    dev = jax.device_put(
+                        jnp.asarray(table),
+                        NamedSharding(self.mesh, P("tp", None)),
+                    )
+                    self._root_tables[key] = (dev, padded_len)
+        return self._root_tables[key][0]
+
+    def _root_step(self, layout):
+        key = (layout.depth, layout.total, layout.shared_rk)
+        if key not in self._root_steps:
+            shard_levels = self.n_shards.bit_length() - 1
+            self._root_steps[key] = make_sharded_fast_root_step(
+                self.mesh, layout, shard_levels,
+                interpret=jax.default_backend() != "tpu",
+            )
+        return self._root_steps[key]
+
+    def _root_applicable(self, queries) -> bool:
+        """Shared-key fast batches on a 2^k-way tp axis ride the
+        root-start step (the single-chip serving kernels per shard)."""
+        from ..server import TpuPirServer
+
+        q0 = queries[0]
+        if q0.key_fast is None or self.n_shards & (self.n_shards - 1):
+            return False
+        shard_levels = self.n_shards.bit_length() - 1
+        # d_local >= 5 keeps every packed leaf word fully occupied (32
+        # leaves/word): below that the word stride (32) and the local
+        # storage perm (2^d_local per plane position) disagree and the
+        # spare lanes would XOR garbage against real rows
+        if q0.key_fast.depth < shard_levels + 5:
+            return False
+        return TpuPirServer._batch_shares_prf_keys(queries)
+
+    def _answer_batch_fast_root(self, queries):
+        from ..dpf.device import make_fast_payload_batch
+        from ..slot import Slot
+
+        g = queries[0].group_size
+        pay, layout = make_fast_payload_batch(queries, shared_rk=True)
+        with self._lock:
+            table = self._root_table(g, queries[0].key_fast.depth)
+        out = np.asarray(self._root_step(layout)(table, jnp.asarray(pay)))
+        sb = self.db.slot_bytes
+        return [
+            _shared_result(sb, [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                                for c in range(g)])
+            for i in range(len(queries))
+        ]
 
     def _perm(self, kind: str, d_levels: int, per_shard_nodes: int,
               rows_per_shard: int):
@@ -466,7 +715,13 @@ class MeshPirServer:
             and (q.key_fast is not None) == (q0.key_fast is not None)
             for q in queries
         )
-        if not uniform or not self._mesh_applicable(q0):
+        # the root-start fast path needs only >= 1 leaf per shard (its
+        # applicability check), not the 32-node-per-shard minimum of the
+        # host-prefix paths — so it is gated separately
+        root = (uniform and q0.key_fast is not None
+                and not q0.is_keyword_based and q0.is_two_party
+                and self._root_applicable(queries))
+        if not root and (not uniform or not self._mesh_applicable(q0)):
             return [srv.private_secret_shared_query(self.db, q)
                     for q in queries]
         # dp requires Q % dp == 0: pad by repeating (padding sliced off).
@@ -477,6 +732,8 @@ class MeshPirServer:
             from ..utils import pad_tile
 
             queries = pad_tile(queries, n + self.dp - n % self.dp)
+        if root:
+            return self._answer_batch_fast_root(queries)[:n]
         if q0.key_fast is not None:
             return self._answer_batch_fast(queries)[:n]
         return self._answer_batch_compat(queries)[:n]

@@ -145,6 +145,62 @@ def test_mesh_pir_server_engine_matches_host():
                 assert res.shares[0].equal(want.shares[0])
 
 
+def test_mesh_root_start_fast_path():
+    """Shared-key fast batches ride the root-start sharded step (the
+    single-chip serving kernels per shard: static subtree-prefix walk,
+    lanes head, Pallas tail, packed MXU scan, ICI XOR-combine) with
+    bit-exact recovery on a non-power-of-two height (partial last
+    shard), group_size > 1, live updates, and per-query-keygen fallback."""
+    from pir_tpu.parallel.mesh import MeshPirServer, make_mesh
+
+    rng = random.Random(3)
+    # depth 9 >= shard_levels + 5 = 7 (full-word leaf occupancy); the
+    # +700 makes the last shard partial
+    height = (1 << 15) + 700
+    db = generate_random_db(height, 24)
+    md = db.metadata()
+    eng = MeshPirServer(db, mesh=make_mesh(8, dp=2))
+    idxs = [rng.randrange(height) for _ in range(6)]
+    sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
+    outs = [eng.private_secret_shared_query_batch([s[k] for s in sh])
+            for k in range(2)]
+    assert eng._root_tables  # the root-start path actually engaged
+    for i, idx in enumerate(idxs):
+        rec = q.recover([outs[0][i], outs[1][i]])
+        assert bytes(rec[0].data) == db.data[idx].tobytes(), (i, idx)
+
+    # group_size > 1 reshapes rows; recover every slot of the group
+    gi = [rng.randrange(height // 4) for _ in range(3)]
+    sh_g = q.new_index_query_shares_batch(md, gi, 4, 2, fast=True)
+    outs_g = [eng.private_secret_shared_query_batch([s[k] for s in sh_g])
+              for k in range(2)]
+    for i, idx in enumerate(gi):
+        rec = q.recover([outs_g[0][i], outs_g[1][i]])
+        for c in range(4):
+            assert bytes(rec[c].data) == db.data[idx * 4 + c].tobytes()
+
+    # live updates must reach the root-start sharded u8 table in place
+    eng.apply_updates({idxs[0]: bytes([7]) * 24})
+    sh_u = q.new_index_query_shares_batch(md, [idxs[0]], 1, 2, fast=True)
+    outs_u = [eng.private_secret_shared_query_batch([s[k] for s in sh_u])
+              for k in range(2)]
+    rec = q.recover([outs_u[0][0], outs_u[1][0]])
+    assert bytes(rec[0].data) == bytes([7]) * 24
+
+    # distinct-keygen shares (no shared PRF keys) must NOT take the
+    # root-start path and still answer correctly
+    sh_d = [q.new_index_query_shares(md, idxs[1], 1, 2, fast=True),
+            q.new_index_query_shares(md, idxs[2], 1, 2, fast=True)]
+    for k in range(2):
+        batch = [sl[k] for sl in sh_d]
+        assert not eng._root_applicable(batch)
+    outs_d = [eng.private_secret_shared_query_batch([sl[k] for sl in sh_d])
+              for k in range(2)]
+    for i, idx in enumerate((idxs[1], idxs[2])):
+        rec = q.recover([outs_d[0][i], outs_d[1][i]])
+        assert bytes(rec[0].data) == db.data[idx].tobytes()
+
+
 def test_mesh_engine_served_over_tcp():
     """A TCP query answered by the 8-device mesh engine, selected via
     PirConfig(mesh_tp/mesh_dp) — the deployment integration of the
