@@ -419,7 +419,11 @@ def worker():
             ])
             assert Slot(mdb.data[midx].tobytes()).equal(mres2[0]), \
                 "mesh-engine recovery mismatch"
-            log(f"mesh-engine (1-device shard_map) TPU check: 1/1 OK "
+            # depth 5 >= log2(tp)+5: the ROOT-START sharded step (the
+            # single-chip serving kernels inside shard_map) must engage
+            assert eng._root_tables, "mesh root-start path did not engage"
+            log(f"mesh-engine (1-device shard_map, root-start kernels) "
+                f"TPU check: 1/1 OK "
                 f"({time.perf_counter()-t0:.1f}s incl. compile)")
 
         try:
