@@ -31,6 +31,11 @@ class PirConfig:
     # MeshPirServer engine.
     mesh_tp: int = 1
     mesh_dp: int = 1
+    # lane-word width of the compat cascade head on the mesh engine
+    # (root-start compat step applies when device_bits - log2(tp) >
+    # 5 + log2(w); smaller w admits shallower domains at lower VPU
+    # occupancy — same knob as TpuPirServer.compat_pallas_w)
+    mesh_compat_w: int = 128
 
     def validate(self) -> "PirConfig":
         if self.num_shares < 2:
@@ -41,6 +46,9 @@ class PirConfig:
             raise ValueError("group_size must be >= 1")
         if self.mesh_tp < 1 or self.mesh_dp < 1:
             raise ValueError("mesh_tp/mesh_dp must be >= 1")
+        if self.mesh_compat_w < 1 or (self.mesh_compat_w &
+                                      (self.mesh_compat_w - 1)):
+            raise ValueError("mesh_compat_w must be a power of two")
         return self
 
 

@@ -375,6 +375,149 @@ def make_sharded_fast_root_step(mesh: Mesh, layout, shard_levels: int,
     return jax.jit(mapped)
 
 
+def make_sharded_compat_root_step(mesh: Mesh, layout, shard_levels: int,
+                                  w: int = 128, max_tail: int = 3,
+                                  q_chunk: int = 16,
+                                  block_rows: int = 2048,
+                                  block_cols: int = 512,
+                                  interpret: bool = False):
+    """Root-start multi-chip COMPAT step — the reference-exact cascaded
+    Pallas pipeline per shard, no per-query host work.
+
+    Same shape as make_sharded_fast_root_step: identical client payloads
+    to the single-chip compat path (make_compat_payload_batch); each tp
+    shard runs the device-side dead-level skip walk, then its static
+    `shard_levels`-level subtree walk (child by the bits of
+    axis_index('tp')), then the single-chip cascade — XLA root-start
+    head to `w` lane words, Pallas stages of <= `max_tail` levels with
+    the varint-parity leaf rule — and the packed-bits MXU scan over its
+    shard-local storage-ordered u8 table; partials XOR-combine over ICI.
+    Requires tp = 2^shard_levels and device_bits - shard_levels >
+    5 + log2(w); callers pad Q per dp shard to a q_chunk multiple.
+    """
+    from ..dpf.device import (
+        _children,
+        _prf_triple,
+        compat_stage_plan,
+        expand_planes_from_root,
+        unpack_compat_root_payload,
+    )
+    from ..models.pipeline import _compat_skip_walk, scan_tile_sizes
+    from ..ops.pallas_expand import compat_stage_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
+
+    nbd, sk = layout.device_bits, layout.skip
+    if shard_levels and (1 << shard_levels) != mesh.shape["tp"]:
+        raise ValueError("tp must equal 2^shard_levels")
+    d_local = nbd - shard_levels
+    split, tails = compat_stage_plan(d_local, w, max_tail)
+
+    def local(table_s, payloads):
+        s_idx = jax.lax.axis_index("tp")
+
+        def head(payload):
+            seeds, t, cw_s, cw_tl, cw_tr, fcw, rk = (
+                unpack_compat_root_payload(payload, layout)
+            )
+            seeds, t = _compat_skip_walk(seeds, t, cw_s, cw_tl, cw_tr, rk, sk)
+            for l in range(shard_levels):
+                out = _prf_triple(seeds, rk)
+                s_l, t_l, s_r, t_r = _children(
+                    out, t, cw_s[sk + l], cw_tl[sk + l], cw_tr[sk + l]
+                )
+                bit = (s_idx >> (shard_levels - 1 - l)) & 1
+                m = jnp.uint32(0) - bit.astype(jnp.uint32)
+                seeds = s_l ^ ((s_l ^ s_r) & m)
+                t = t_l ^ ((t_l ^ t_r) & m)
+            lo = sk + shard_levels
+            seeds, t = expand_planes_from_root(
+                seeds, t, cw_s[lo:lo + split], cw_tl[lo:lo + split],
+                cw_tr[lo:lo + split], rk, split
+            )
+            return (seeds[:, None], t.reshape(1, 1, w), cw_s[lo + split:],
+                    cw_tl[lo + split:], cw_tr[lo + split:], rk, fcw)
+
+        def bits_chunk(payloads_c):
+            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw = jax.vmap(head)(payloads_c)
+            off = 0
+            for si, tl in enumerate(tails):
+                res = compat_stage_pallas(
+                    seeds, t, cw_s[:, off:off + tl], cw_tl[:, off:off + tl],
+                    cw_tr[:, off:off + tl], rk, fcw,
+                    tail=tl, emit_bits=(si == len(tails) - 1),
+                    interpret=interpret,
+                )
+                if si == len(tails) - 1:
+                    packed = res
+                else:
+                    seeds, t = res
+                off += tl
+            return packed.reshape(packed.shape[0], -1)
+
+        qn = payloads.shape[0]
+        if qn <= q_chunk:
+            words = bits_chunk(payloads)
+        else:
+            words = jax.lax.map(
+                bits_chunk, payloads.reshape(-1, q_chunk, payloads.shape[1])
+            ).reshape(qn, -1)
+        rows, b = table_s.shape
+        pad = rows - words.shape[1] * 32
+        if pad:
+            words = jnp.pad(words, ((0, 0), (0, pad // 32)))
+        br, bc = scan_tile_sizes(qn, rows, b,
+                                 max_br=block_rows, max_bc=block_cols)
+        partial = mxu_batched_scan_packed_pallas(
+            table_s, words.T, block_rows=br, block_cols=bc,
+            interpret=interpret,
+        )
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_compat_table_u8(data: np.ndarray, height: int,
+                                  group_size: int, slot_bytes: int,
+                                  nbd: int, shard_levels: int, w: int,
+                                  tails: tuple, pad_to: int = 8192
+                                  ) -> np.ndarray:
+    """Shard-local storage-ordered u8 table for the compat root-start
+    mesh step (the per-shard analogue of the single-chip
+    _compat_root_table_u8: rows scattered by the cascade's stacked-chunk
+    order over the LOCAL d_local-level subtree)."""
+    from ..dpf.device import _compat_perm_pallas, scatter_rows_to_storage_order
+    from ..ops.matmul_scan import pad_rows_u8
+
+    d_local = nbd - shard_levels
+    n_shards = 1 << shard_levels
+    rows_per_shard = 1 << d_local
+    flat_local = 1 << d_local
+    h = height // group_size
+    row_bytes = group_size * slot_bytes
+    rows = data[: h * group_size].reshape(h, row_bytes)
+    slices = []
+    for s in range(n_shards):
+        lo = s * rows_per_shard
+        local_h = min(max(h - lo, 0), rows_per_shard)
+        if local_h:
+            perm = _compat_perm_pallas(d_local, local_h, w, tuple(tails))
+            sc = scatter_rows_to_storage_order(
+                rows[lo:lo + local_h], perm, flat_local
+            )
+        else:
+            sc = np.zeros((flat_local, row_bytes), dtype=np.uint8)
+        slices.append(pad_rows_u8(sc, pad_to))
+    return np.concatenate(slices, axis=0)
+
+
 def build_sharded_root_table_u8(data: np.ndarray, height: int,
                                 group_size: int, slot_bytes: int,
                                 depth: int, shard_levels: int,
@@ -429,7 +572,8 @@ class MeshPirServer:
     """
 
     def __init__(self, db, mesh: Mesh | None = None, tp: int | None = None,
-                 dp: int = 1):
+                 dp: int = 1, compat_w: int = 128, compat_max_tail: int = 3,
+                 compat_q_chunk: int = 16):
         if mesh is None:
             n = (tp or len(jax.devices()) // dp) * dp
             mesh = make_mesh(n, dp=dp)
@@ -437,13 +581,20 @@ class MeshPirServer:
         self.mesh = mesh
         self.n_shards = mesh.shape["tp"]
         self.dp = mesh.shape["dp"]
+        # cascade geometry of the compat root-start step (see
+        # TpuPirServer compat_pallas_* for the single-chip rationale)
+        self.compat_w = compat_w
+        self.compat_max_tail = compat_max_tail
+        self.compat_q_chunk = compat_q_chunk
         self._tables: dict[tuple, object] = {}
         self._perms: dict[tuple, object] = {}
         self._steps: dict[tuple, object] = {}
-        # root-start path (shared-key fast batches on a 2^k-way tp axis):
-        # (g, depth) -> (device table, per-shard padded length)
+        # root-start paths (2^k-way tp axis): (g, depth|nbd) ->
+        # (device table, per-shard padded length[, cascade geometry])
         self._root_tables: dict[tuple, tuple] = {}
         self._root_steps: dict[tuple, object] = {}
+        self._compat_root_tables: dict[tuple, tuple] = {}
+        self._compat_root_steps: dict[tuple, object] = {}
         # serializes table builds against live updates (apply_updates):
         # a build that read pre-update rows must not land after a patch
         self._lock = threading.RLock()
@@ -482,6 +633,42 @@ class MeshPirServer:
                     tbl.at[jnp.asarray(pos)].set(jnp.asarray(vals)),
                     padded_len,
                 )
+            for (g, nbd), (tbl, padded_len, w, tails) in list(
+                    self._compat_root_tables.items()):
+                pos, vals = self._compat_root_update_rows(
+                    idxs, g, nbd, padded_len, w, tails)
+                if pos is None:
+                    continue
+                self._compat_root_tables[(g, nbd)] = (
+                    tbl.at[jnp.asarray(pos)].set(jnp.asarray(vals)),
+                    padded_len, w, tails,
+                )
+
+    def _compat_root_update_rows(self, idxs, g, nbd, padded_len, w, tails):
+        """Storage positions + fresh row bytes for changed rows in a
+        compat root-start sharded u8 table."""
+        from ..dpf.device import _compat_perm_pallas
+
+        h = self.db.db_size // g
+        r = np.unique(idxs // g)
+        r = r[r < h]
+        if not len(r):
+            return None, None
+        shard_levels = self.n_shards.bit_length() - 1
+        d_local = nbd - shard_levels
+        rows_per_shard = 1 << d_local
+        s = r // rows_per_shard
+        r_loc = r % rows_per_shard
+        pos = np.empty(len(r), dtype=np.int64)
+        for sh in np.unique(s):
+            local_h = min(max(h - int(sh) * rows_per_shard, 0),
+                          rows_per_shard)
+            perm = _compat_perm_pallas(d_local, local_h, w, tuple(tails))
+            m = s == sh
+            pos[m] = int(sh) * padded_len + perm[r_loc[m]]
+        row_bytes = g * self.db.slot_bytes
+        vals = self.db.data[: h * g].reshape(h, row_bytes)[r]
+        return pos, vals
 
     def _root_update_rows(self, idxs, g, depth, padded_len):
         """Storage positions + fresh row bytes for changed rows in a
@@ -581,6 +768,79 @@ class MeshPirServer:
         if q0.key_fast.depth < shard_levels + 5:
             return False
         return TpuPirServer._batch_shares_prf_keys(queries)
+
+    def _compat_root_geometry(self, q0):
+        """(num_bits, skip, nbd) of a compat query, or None if the compat
+        root-start step cannot shard this domain."""
+        from ..dpf.device import compat_skip_levels
+
+        if self.n_shards & (self.n_shards - 1):
+            return None
+        shard_levels = self.n_shards.bit_length() - 1
+        h = self.db.db_size // q0.group_size
+        num_bits = len(q0.key_two_party.cw)
+        skip = compat_skip_levels(num_bits, h)
+        nbd = num_bits - skip
+        # cascade needs d_local > split = 5 + log2(w)
+        if nbd - shard_levels <= 5 + int(np.log2(self.compat_w)):
+            return None
+        return num_bits, skip, nbd
+
+    def _answer_batch_compat_root(self, queries, geometry):
+        from ..dpf.device import compat_stage_plan, make_compat_payload_batch
+        from ..slot import Slot
+        from ..utils import pad_tile
+        from jax.sharding import NamedSharding
+
+        num_bits, skip, nbd = geometry
+        g = queries[0].group_size
+        h = self.db.db_size // g
+        shard_levels = self.n_shards.bit_length() - 1
+        # each dp shard's slice must be <= q_chunk or a multiple of it
+        n = len(queries)
+        qc = self.compat_q_chunk * self.dp
+        if n % qc and n > qc:
+            queries = pad_tile(queries, -(-n // qc) * qc)
+        elif n % self.dp:
+            queries = pad_tile(queries, n + self.dp - n % self.dp)
+        pay, layout = make_compat_payload_batch(queries, height=h)
+        key = (g, nbd)
+        if key not in self._compat_root_tables:
+            with self._lock:
+                if key not in self._compat_root_tables:
+                    _, tails = compat_stage_plan(
+                        nbd - shard_levels, self.compat_w,
+                        self.compat_max_tail)
+                    table = build_sharded_compat_table_u8(
+                        self.db.data, self.db.db_size, g,
+                        self.db.slot_bytes, nbd, shard_levels,
+                        self.compat_w, tails,
+                    )
+                    dev = jax.device_put(
+                        jnp.asarray(table),
+                        NamedSharding(self.mesh, P("tp", None)),
+                    )
+                    self._compat_root_tables[key] = (
+                        dev, table.shape[0] // self.n_shards,
+                        self.compat_w, tails,
+                    )
+        with self._lock:
+            table = self._compat_root_tables[key][0]
+        skey = (num_bits, skip, layout.total)
+        if skey not in self._compat_root_steps:
+            self._compat_root_steps[skey] = make_sharded_compat_root_step(
+                self.mesh, layout, shard_levels, w=self.compat_w,
+                max_tail=self.compat_max_tail, q_chunk=self.compat_q_chunk,
+                interpret=jax.default_backend() != "tpu",
+            )
+        out = np.asarray(self._compat_root_steps[skey](table,
+                                                       jnp.asarray(pay)))
+        sb = self.db.slot_bytes
+        return [
+            _shared_result(sb, [Slot(out[i, c * sb:(c + 1) * sb].tobytes())
+                                for c in range(g)])
+            for i in range(n)
+        ]
 
     def _answer_batch_fast_root(self, queries):
         from ..dpf.device import make_fast_payload_batch
@@ -715,12 +975,17 @@ class MeshPirServer:
             and (q.key_fast is not None) == (q0.key_fast is not None)
             for q in queries
         )
-        # the root-start fast path needs only >= 1 leaf per shard (its
-        # applicability check), not the 32-node-per-shard minimum of the
-        # host-prefix paths — so it is gated separately
+        # the root-start paths carry their own (weaker) capacity gates,
+        # so they are checked before the host-prefix paths' 32-node
+        # minimum (_mesh_applicable)
         root = (uniform and q0.key_fast is not None
                 and not q0.is_keyword_based and q0.is_two_party
                 and self._root_applicable(queries))
+        if (uniform and q0.key_fast is None and q0.is_two_party
+                and not q0.is_keyword_based):
+            geo = self._compat_root_geometry(q0)
+            if geo is not None:
+                return self._answer_batch_compat_root(queries, geo)
         if not root and (not uniform or not self._mesh_applicable(q0)):
             return [srv.private_secret_shared_query(self.db, q)
                     for q in queries]

@@ -179,7 +179,8 @@ class PirService:
             from .parallel.mesh import MeshPirServer
 
             self._engine = MeshPirServer(
-                db, tp=self.config.mesh_tp, dp=self.config.mesh_dp
+                db, tp=self.config.mesh_tp, dp=self.config.mesh_dp,
+                compat_w=self.config.mesh_compat_w,
             )
         elif self.engine_name == "native":
             from .server import NativePirServer

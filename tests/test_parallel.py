@@ -277,3 +277,71 @@ def test_mesh_single_query_dp3():
     got = eng.private_secret_shared_query(shares[0])
     want = srv.private_secret_shared_query(db, shares[0])
     assert got.shares[0].equal(want.shares[0])
+
+
+def test_mesh_root_start_compat_path():
+    """Compat (reference-exact) batches ride the root-start sharded
+    compat step — per shard: device-side skip walk, static subtree
+    walk, the single-chip cascade (XLA lanes head + Pallas tail stages
+    with the varint-parity leaf rule), packed MXU scan, ICI
+    XOR-combine — with bit-exact shares vs the host golden engine on a
+    non-pow2 height, plus pow2 (skip=1) + group_size + q_chunk padding
+    + live updates + shallow-domain fallback."""
+    from pir_tpu.parallel.mesh import MeshPirServer
+
+    rng = random.Random(3)
+    height = (1 << 12) + 300  # non-pow2: partial last shard
+    db = generate_random_db(height, 8)
+    md = db.metadata()
+    eng = MeshPirServer(db, mesh=make_mesh(8, dp=2), compat_w=8,
+                        compat_q_chunk=4)
+    idxs = [rng.randrange(height) for _ in range(6)]
+    sh = [q.new_index_query_shares(md, i, 1, 2) for i in idxs]
+    outs = [eng.private_secret_shared_query_batch([s[k] for s in sh])
+            for k in range(2)]
+    assert eng._compat_root_tables  # the compat root path engaged
+    for i, idx in enumerate(idxs):
+        for k in range(2):  # each share bit-for-bit vs the golden model
+            want = srv.private_secret_shared_query(db, sh[i][k])
+            assert want.shares[0].equal(outs[k][i].shares[0]), (i, k)
+        rec = q.recover([outs[0][i], outs[1][i]])
+        assert bytes(rec[0].data) == db.data[idx].tobytes(), (i, idx)
+
+    # pow2 height (skip=1) + group_size 4 + batch > q_chunk*dp (pads)
+    h2 = 1 << 13
+    db2 = generate_random_db(h2, 8)
+    eng2 = MeshPirServer(db2, mesh=make_mesh(8, dp=2), compat_w=8,
+                         compat_q_chunk=4)
+    gi = [rng.randrange(h2 // 4) for _ in range(10)]
+    sh_g = [q.new_index_query_shares(db2.metadata(), i, 4, 2) for i in gi]
+    outs_g = [eng2.private_secret_shared_query_batch([s[k] for s in sh_g])
+              for k in range(2)]
+    assert eng2._compat_root_tables
+    for i, idx in enumerate(gi):
+        rec = q.recover([outs_g[0][i], outs_g[1][i]])
+        for c in range(4):
+            assert bytes(rec[c].data) == db2.data[idx * 4 + c].tobytes()
+
+    # live updates must patch the compat sharded u8 table in place
+    eng2.apply_updates({gi[0] * 4: bytes([9]) * 8})
+    sh_u = [q.new_index_query_shares(db2.metadata(), gi[0], 4, 2)]
+    outs_u = [eng2.private_secret_shared_query_batch([s[k] for s in sh_u])
+              for k in range(2)]
+    rec = q.recover([outs_u[0][0], outs_u[1][0]])
+    assert bytes(rec[0].data) == bytes([9]) * 8
+
+    # domain too shallow for the cascade: geometry gate falls back to
+    # the host-prefix paths and still answers correctly
+    h3 = 1 << 9
+    db3 = generate_random_db(h3, 8)
+    eng3 = MeshPirServer(db3, mesh=make_mesh(8, dp=2), compat_w=8)
+    assert eng3._compat_root_geometry(
+        q.new_index_query_shares(db3.metadata(), 3, 1, 2)[0]) is None
+    sh3 = [q.new_index_query_shares(db3.metadata(), i, 1, 2)
+           for i in (3, 77)]
+    o3 = [eng3.private_secret_shared_query_batch([s[k] for s in sh3])
+          for k in range(2)]
+    for i, idx in enumerate((3, 77)):
+        rec = q.recover([o3[0][i], o3[1][i]])
+        assert bytes(rec[0].data) == db3.data[idx].tobytes()
+    assert not eng3._compat_root_tables
