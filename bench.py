@@ -426,6 +426,32 @@ def worker():
                 f"TPU check: 1/1 OK "
                 f"({time.perf_counter()-t0:.1f}s incl. compile)")
 
+            # mesh point-eval steps on the chip: keyword (2-party) and
+            # 3-server MP batches through the sharded point walks
+            t0 = time.perf_counter()
+            keng = MeshPirServer(kdb, tp=1, dp=1)
+            kwv = int(kdb.keywords[int(rng.integers(0, kh))])
+            ksh = q.new_keyword_query_shares(kmd, kwv, 1, 2)
+            kres = q.recover([
+                keng.private_secret_shared_query_batch([ksh[0]])[0],
+                keng.private_secret_shared_query_batch([ksh[1]])[0],
+            ])
+            assert Slot(kdb.data[rows[kwv]].tobytes()).equal(kres[0]), \
+                "mesh keyword recovery mismatch"
+            assert keng._point_steps, "mesh point step did not engage"
+            meng = MeshPirServer(mdb, tp=1, dp=1)
+            midx3 = int(rng.integers(0, mh))
+            msh3 = q.new_index_query_shares(mmd, midx3, 1, 3)
+            mres3 = q.recover([
+                meng.private_secret_shared_query_batch([s])[0]
+                for s in msh3
+            ])
+            assert Slot(mdb.data[midx3].tobytes()).equal(mres3[0]), \
+                "mesh MP recovery mismatch"
+            assert meng._mp_steps, "mesh MP step did not engage"
+            log(f"mesh point-eval (keyword 2P + 3-server MP) TPU check: "
+                f"2/2 OK ({time.perf_counter()-t0:.1f}s incl. compile)")
+
         try:
             retry(cover, "keyword/MP TPU coverage", tries=2)
         except Exception as e:

@@ -1112,25 +1112,41 @@ def make_device_point_key(server: dpf_host.Dpf, key: dpf_host.Key2P) -> DevicePo
     )
 
 
+def point_eval_packed_core(s_masks, t_mask, cw_seed_masks, cw_tl, cw_tr,
+                           rk_masks, fcw_mask, xbits, num_bits: int):
+    """The 2-party point-eval walk over packed branch-bit planes.
+
+    xbits (num_bits, NW) -> (NW,) packed selection-bit words (32 points
+    per lane word; dpf/server.go:55-101 semantics incl. the inverted
+    parity). Pure traced function — shared by the single-chip jit below
+    and the mesh sharded step (parallel/mesh.py), which calls it on a
+    shard-local slice of the planes."""
+    nw = xbits.shape[1]
+    seeds = jnp.broadcast_to(s_masks, (8, 16, nw)).astype(jnp.uint32)
+    t_plane = jnp.broadcast_to(t_mask, (nw,)).astype(jnp.uint32)
+
+    def body(i, carry):
+        seeds, t_plane = carry
+        out = _prf_triple(seeds, rk_masks)
+        s_l, t_l, s_r, t_r = _children(
+            out, t_plane, cw_seed_masks[i], cw_tl[i], cw_tr[i]
+        )
+        xb = xbits[i]
+        seeds = (s_l & ~xb[None, None, :]) | (s_r & xb[None, None, :])
+        t_plane = (t_l & ~xb) | (t_r & xb)
+        return seeds, t_plane
+
+    seeds, t_plane = jax.lax.fori_loop(0, num_bits, body, (seeds, t_plane))
+    return _leaf_select_bits(seeds, t_plane, fcw_mask)
+
+
 @functools.lru_cache(maxsize=32)
 def _point_eval_fn(num_bits: int, nw: int, n_points: int):
     def run(s_masks, t_mask, cw_seed_masks, cw_tl, cw_tr, rk_masks, fcw_mask, xbits):
-        seeds = jnp.broadcast_to(s_masks, (8, 16, nw)).astype(jnp.uint32)
-        t_plane = jnp.broadcast_to(t_mask, (nw,)).astype(jnp.uint32)
-
-        def body(i, carry):
-            seeds, t_plane = carry
-            out = _prf_triple(seeds, rk_masks)
-            s_l, t_l, s_r, t_r = _children(
-                out, t_plane, cw_seed_masks[i], cw_tl[i], cw_tr[i]
-            )
-            xb = xbits[i]
-            seeds = (s_l & ~xb[None, None, :]) | (s_r & xb[None, None, :])
-            t_plane = (t_l & ~xb) | (t_r & xb)
-            return seeds, t_plane
-
-        seeds, t_plane = jax.lax.fori_loop(0, num_bits, body, (seeds, t_plane))
-        packed = _leaf_select_bits(seeds, t_plane, fcw_mask)
+        packed = point_eval_packed_core(
+            s_masks, t_mask, cw_seed_masks, cw_tl, cw_tr, rk_masks,
+            fcw_mask, xbits, num_bits,
+        )
         return _unpack_bits(packed, nw * 32)[:n_points]
 
     return jax.jit(run)
@@ -1311,31 +1327,39 @@ def _pack_lane_mask(flags: np.ndarray, nw: int) -> np.ndarray:
     ).sum(axis=1, dtype=np.uint32)
 
 
+def mp_point_packed_core(xp, rk4, ksel, bytesel, present, cwm, p2: int):
+    """The MP arbitrary-point eval over packed per-lane operands.
+
+    xp (8, p2, 16, NW); rk4 (4, 11, 8, 1, 16, 1); ksel/bytesel (4, NW);
+    present/cwm (p2, NW) -> (NW,) packed XOR-share parity bits. Per-lane
+    round keys: the four fixed-key schedules, selected by the lane's
+    one-hot ksel mask (disjoint, so OR composes them). Pure traced
+    function — shared by the single-chip jit below and the mesh sharded
+    step (parallel/mesh.py), which calls it on shard-local NW slices."""
+    rk = rk4[0] & ksel[0]
+    for k in range(1, 4):
+        rk = rk | (rk4[k] & ksel[k])
+    out = aes_encrypt_planes(xp, rk) ^ xp  # MMO (dpf/common.go:60-75)
+    p0 = out[0]  # bit-0 planes, (p2, 16, NW)
+    # parity of little-endian u32 word (delta & 3) = bit 0 of byte
+    # 4*(delta & 3); per-lane word choice via one-hot byte masks
+    par = (
+        (p0[:, 0] & bytesel[0])
+        ^ (p0[:, 4] & bytesel[1])
+        ^ (p0[:, 8] & bytesel[2])
+        ^ (p0[:, 12] & bytesel[3])
+    )  # (p2, NW)
+    contrib = present & (par ^ cwm)  # zero-seed slots skip G AND cw
+    y = contrib[0]
+    for i in range(1, p2):
+        y = y ^ contrib[i]
+    return y
+
+
 @functools.lru_cache(maxsize=None)
 def _mp_point_fn(p2: int, nw: int):
     def fn(xp, rk4, ksel, bytesel, present, cwm):
-        # xp (8, p2, 16, NW); rk4 (4, 11, 8, 1, 16, 1); ksel/bytesel
-        # (4, NW); present/cwm (p2, NW). Per-lane round keys: the four
-        # fixed-key schedules, selected by the lane's one-hot ksel mask
-        # (disjoint, so OR composes them).
-        rk = rk4[0] & ksel[0]
-        for k in range(1, 4):
-            rk = rk | (rk4[k] & ksel[k])
-        out = aes_encrypt_planes(xp, rk) ^ xp  # MMO (dpf/common.go:60-75)
-        p0 = out[0]  # bit-0 planes, (p2, 16, NW)
-        # parity of little-endian u32 word (delta & 3) = bit 0 of byte
-        # 4*(delta & 3); per-lane word choice via one-hot byte masks
-        par = (
-            (p0[:, 0] & bytesel[0])
-            ^ (p0[:, 4] & bytesel[1])
-            ^ (p0[:, 8] & bytesel[2])
-            ^ (p0[:, 12] & bytesel[3])
-        )  # (p2, NW)
-        contrib = present & (par ^ cwm)  # zero-seed slots skip G AND cw
-        y = contrib[0]
-        for i in range(1, p2):
-            y = y ^ contrib[i]
-        return y  # (NW,) packed XOR-share parity bits
+        return mp_point_packed_core(xp, rk4, ksel, bytesel, present, cwm, p2)
 
     return jax.jit(fn)
 
@@ -1357,12 +1381,35 @@ def eval_points_mp_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
     (db.go:132-135 with >=3 servers), where the 2^32 domain rules out
     full-domain expansion.
     """
+    xp, rk4, ksel, bytesel, present, cwm, p2 = mp_point_operands(
+        server, key, points
+    )
+    n = len(np.asarray(points))
+    fn = _mp_point_fn(p2, xp.shape[-1])
+    y = fn(
+        jnp.asarray(xp), jnp.asarray(rk4), jnp.asarray(ksel),
+        jnp.asarray(bytesel), jnp.asarray(present), jnp.asarray(cwm),
+    )
+    return _unpack_bits(y, n)[:n]
+
+
+def mp_point_operands(server: dpf_host.Dpf, key: dpf_host.KeyMP, points,
+                      pad_to_words: int = 1):
+    """Host-side packed operands for the MP arbitrary-point eval.
+
+    Returns (xp, rk4, ksel, bytesel, present, cwm, p2) shaped as
+    mp_point_packed_core expects, with the lane-word axis NW padded to a
+    multiple of ``pad_to_words`` (the mesh step slices NW evenly across
+    tp shards; padded lanes evaluate garbage points against zero table
+    rows, contributing nothing to the XOR scan)."""
     p2, mu, gamma_bits, delta_bits = dpf_host._mp_params(
         server.num_bits, key.num_parties
     )
     pts = np.asarray(points, dtype=np.int64)
     n = len(pts)
-    nw = -(-n // 32)
+    nw = -(-(-(-n // 32)) // pad_to_words) * pad_to_words
+    if nw * 32 != n:
+        pts = np.concatenate([pts, np.zeros(nw * 32 - n, dtype=np.int64)])
     deltas = pts & ((1 << delta_bits) - 1)
     gammas = (pts >> delta_bits) & ((1 << gamma_bits) - 1)
     b = deltas >> 2  # output block holding word delta
@@ -1373,10 +1420,10 @@ def eval_points_mp_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
     sigma_arr = np.frombuffer(b"".join(key.sigma), dtype=np.uint8).reshape(
         1 << gamma_bits, p2, 16
     )
-    seeds = sigma_arr[gammas]  # (n, p2, 16)
-    present_rows = seeds.any(axis=2)  # (n, p2)
+    seeds = sigma_arr[gammas]  # (n_pad, p2, 16)
+    present_rows = seeds.any(axis=2)  # (n_pad, p2)
     x = seeds.copy()
-    x[:, :, :8] ^= ctr.astype("<u8").view(np.uint8).reshape(n, 8)[:, None, :]
+    x[:, :, :8] ^= ctr.astype("<u8").view(np.uint8).reshape(-1, 8)[:, None, :]
     xp = np.stack(
         [blocks_to_planes(np.ascontiguousarray(x[:, i])) for i in range(p2)],
         axis=1,
@@ -1397,10 +1444,4 @@ def eval_points_mp_bits(server: dpf_host.Dpf, key: dpf_host.KeyMP,
             for i in range(p2)
         ]
     )
-
-    fn = _mp_point_fn(p2, nw)
-    y = fn(
-        jnp.asarray(xp), jnp.asarray(rk4), jnp.asarray(ksel),
-        jnp.asarray(bytesel), jnp.asarray(present), jnp.asarray(cwm),
-    )
-    return _unpack_bits(y, n)[:n]
+    return xp, rk4, ksel, bytesel, present, cwm, p2

@@ -141,6 +141,22 @@ def shard_local_perm(d_levels: int, per_shard_nodes: int) -> np.ndarray:
     return rev * per_shard_nodes + s
 
 
+def pow2_padded_len(n: int, dp: int, chunk: int = 1) -> int:
+    """Batch length padded so each dp shard's slice is a power of two
+    (capped at `chunk`), or a power-of-two multiple of `chunk` above it.
+
+    Keeps the set of compiled step shapes LOGARITHMIC in batch size —
+    every distinct Q axis compiles a fresh executable, which costs
+    minutes on a remote-compile rig (the mesh analogue of
+    TpuPirServer's compat_pallas power-of-two slice policy)."""
+    per = -(-n // dp)
+    if per <= chunk:
+        p = min(1 << (per - 1).bit_length(), chunk)
+    else:
+        p = chunk << (-(-per // chunk) - 1).bit_length()
+    return p * dp
+
+
 def pad_table_rows(table: np.ndarray, total_rows: int) -> np.ndarray:
     """Zero-pad a (H, C) table to the sharded row count."""
     if table.shape[0] == total_rows:
@@ -558,6 +574,103 @@ def build_sharded_root_table_u8(data: np.ndarray, height: int,
     return np.concatenate(slices, axis=0)
 
 
+def make_sharded_point_step(mesh: Mesh, num_bits: int):
+    """2-party KEYWORD (arbitrary-point) multi-chip batched answer step.
+
+    Each tp shard owns a contiguous row range, the branch-bit planes of
+    ITS rows' keywords (db.go:132-135: the DPF evaluates on
+    db.Keywords[row]), and the matching table slice; the point-eval walk
+    (dpf/server.go:55-101 semantics, shared traced core with the
+    single-chip path) is pointwise per row, so sharding the lane-word
+    axis shards the AES work exactly.
+
+    step(table (tp * rows_local, C) u32   P('tp', None),
+         xbits (num_bits, tp * NW_local)  P(None, 'tp'),
+         s_masks (Q,8,16,1), t_mask (Q,), cw_s (Q,nb,8,16,1),
+         cw_tl / cw_tr (Q,nb), rk (Q,11,8,16,3,1), fcw (Q,)  P('dp'))
+      -> (Q, C) uint32 P('dp').
+    """
+    from ..dpf.device import _unpack_bits, point_eval_packed_core
+
+    def local(table_s, xbits_s, s_m, t_m, cw_s, cw_tl, cw_tr, rk, fcw):
+        rows = table_s.shape[0]
+
+        def one(sm, tm, cs, ctl, ctr, r, f):
+            packed = point_eval_packed_core(
+                sm, tm, cs, ctl, ctr, r, f, xbits_s, num_bits
+            )
+            bits = _unpack_bits(packed, rows)
+            mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+            return xor_reduce(table_s & mask, axis=0)
+
+        partial = jax.vmap(one)(s_m, t_m, cw_s, cw_tl, cw_tr, rk, fcw)
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("tp", None),
+            P(None, "tp"),
+            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+        ),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_sharded_mp_point_step(mesh: Mesh, p2: int):
+    """Multi-party (>= 3 server) multi-chip batched answer step.
+
+    The block-sparse arbitrary-point MP eval (one bitsliced AES per
+    sigma slot per 32 rows; dpf/server.go:110-144 semantics, shared
+    traced core with the single-chip path) is pointwise per lane word,
+    so the packed operands slice evenly across tp shards. Covers BOTH
+    index-domain MP (points = row indices) and keyword-domain MP
+    (points = db.Keywords rows).
+
+    step(table (tp * rows_local, C) u32           P('tp', None),
+         xp (Q, 8, p2, 16, NW)                    P('dp', None, None, None, 'tp'),
+         rk4 (Q, 4, 11, 8, 1, 16, 1)              P('dp'),
+         ksel / bytesel (Q, 4, NW)                P('dp', None, 'tp'),
+         present / cwm (Q, p2, NW)                P('dp', None, 'tp'))
+      -> (Q, C) uint32 P('dp').
+    """
+    from ..dpf.device import _unpack_bits, mp_point_packed_core
+
+    def local(table_s, xp, rk4, ksel, bytesel, present, cwm):
+        rows = table_s.shape[0]
+
+        def one(x, r, k, b, pr, c):
+            y = mp_point_packed_core(x, r, k, b, pr, c, p2)
+            bits = _unpack_bits(y, rows)
+            mask = (jnp.uint32(0) - bits.astype(jnp.uint32))[:, None]
+            return xor_reduce(table_s & mask, axis=0)
+
+        partial = jax.vmap(one)(xp, rk4, ksel, bytesel, present, cwm)
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("tp", None),
+            P("dp", None, None, None, "tp"),
+            P("dp"),
+            P("dp", None, "tp"),
+            P("dp", None, "tp"),
+            P("dp", None, "tp"),
+            P("dp", None, "tp"),
+        ),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 class MeshPirServer:
     """Multi-chip serving engine: same query surface as TpuPirServer but
     every batch is answered by the whole device mesh (tp = DB rows,
@@ -567,9 +680,15 @@ class MeshPirServer:
     The table is uploaded once per group size (padded to the sharded row
     count); per query the host computes only the subtree-prefix seeds for
     each row shard (make_sharded_key) and the mesh expands + scans +
-    XOR-combines over ICI. Keyword / multi-party / tiny-domain queries
-    fall back to the host path with identical semantics.
+    XOR-combines over ICI. Keyword and multi-party (>= 3 server) batches
+    ride their own sharded point-eval steps (make_sharded_point_step /
+    make_sharded_mp_point_step); only tiny-domain queries fall back to
+    the host path, with identical semantics throughout.
     """
+
+    # the service routes uniform >= 3-party batches here whole (the
+    # sharded MP point step) instead of answering per share
+    batch_accepts_multi_party = True
 
     def __init__(self, db, mesh: Mesh | None = None, tp: int | None = None,
                  dp: int = 1, compat_w: int = 128, compat_max_tail: int = 3,
@@ -595,6 +714,10 @@ class MeshPirServer:
         self._root_steps: dict[tuple, object] = {}
         self._compat_root_tables: dict[tuple, tuple] = {}
         self._compat_root_steps: dict[tuple, object] = {}
+        # keyword / multi-party point-eval paths
+        self._kw_planes: dict[tuple, object] = {}
+        self._point_steps: dict[int, object] = {}
+        self._mp_steps: dict[int, object] = {}
         # serializes table builds against live updates (apply_updates):
         # a build that read pre-update rows must not land after a patch
         self._lock = threading.RLock()
@@ -796,13 +919,12 @@ class MeshPirServer:
         g = queries[0].group_size
         h = self.db.db_size // g
         shard_levels = self.n_shards.bit_length() - 1
-        # each dp shard's slice must be <= q_chunk or a multiple of it
+        # each dp shard's slice must be <= q_chunk or a multiple of it;
+        # power-of-two padding keeps the compiled shape set logarithmic
         n = len(queries)
-        qc = self.compat_q_chunk * self.dp
-        if n % qc and n > qc:
-            queries = pad_tile(queries, -(-n // qc) * qc)
-        elif n % self.dp:
-            queries = pad_tile(queries, n + self.dp - n % self.dp)
+        m = pow2_padded_len(n, self.dp, self.compat_q_chunk)
+        if m > n:
+            queries = pad_tile(queries, m)
         pay, layout = make_compat_payload_batch(queries, height=h)
         key = (g, nbd)
         if key not in self._compat_root_tables:
@@ -878,6 +1000,115 @@ class MeshPirServer:
         if query.key_fast is not None:
             return h >= 128 * 32 * self.n_shards
         return h >= 32 * self.n_shards * 2  # subtree split needs headroom
+
+    def _points_applicable(self, query) -> bool:
+        """Keyword / MP point-eval sharding wants >= one full lane word
+        of real rows per shard; below that the host path is cheaper."""
+        return self.db.db_size // query.group_size >= 32 * self.n_shards
+
+    def _point_rows_per_shard(self, h: int) -> int:
+        """Rows per tp shard for the point-eval steps: the even row
+        split rounded up to a whole 32-row lane word."""
+        return -(-(-(-h // self.n_shards)) // 32) * 32
+
+    # ---- keyword (2-party) mesh path ----
+
+    def _kw_planes_sharded(self, group_size: int, rows_per_shard: int):
+        """Branch-bit planes of the row keywords, padded to the sharded
+        row count and laid out P(None, 'tp') so each shard sees exactly
+        its rows' planes. Keywords are immutable under live updates
+        (update_slots patches slot data only), so no patch hook."""
+        from jax.sharding import NamedSharding
+
+        from ..dpf.device import pack_point_bit_planes
+
+        key = (group_size, rows_per_shard)
+        if key not in self._kw_planes:
+            with self._lock:
+                if key not in self._kw_planes:
+                    h = self.db.db_size // group_size
+                    total = self.n_shards * rows_per_shard
+                    kws = np.zeros(total, dtype=np.int64)
+                    kws[:h] = np.asarray(self.db.keywords[:h], dtype=np.int64)
+                    planes = pack_point_bit_planes(kws, 32)
+                    self._kw_planes[key] = jax.device_put(
+                        jnp.asarray(planes),
+                        NamedSharding(self.mesh, P(None, "tp")),
+                    )
+        return self._kw_planes[key]
+
+    def _answer_batch_keyword(self, queries):
+        from ..dpf.device import make_device_point_key
+        from ..ops.scan import unpack_result_u32
+        from ..slot import Slot
+
+        g = queries[0].group_size
+        h = self.db.db_size // g
+        rows_per_shard = self._point_rows_per_shard(h)
+        table = self._sharded_table(g, rows_per_shard)
+        planes = self._kw_planes_sharded(g, rows_per_shard)
+        dkeys = []
+        for s in queries:
+            pf = dpf_host.server_initialize(s.prf_keys, 32)
+            dkeys.append(make_device_point_key(pf, s.key_two_party))
+        if 32 not in self._point_steps:
+            self._point_steps[32] = make_sharded_point_step(self.mesh, 32)
+        stack = lambda attr: jnp.stack([getattr(k, attr) for k in dkeys])
+        out = np.asarray(self._point_steps[32](
+            table, planes,
+            stack("s_init_masks"), stack("t_init_mask"),
+            stack("cw_seed_masks"), stack("cw_tl"), stack("cw_tr"),
+            stack("rk_masks"), stack("fcw_mask"),
+        ))
+        sb = self.db.slot_bytes
+        results = []
+        for i in range(len(queries)):
+            res = unpack_result_u32(out[i], g, sb)
+            results.append(_shared_result(sb, [Slot(res[c].tobytes())
+                                               for c in range(g)]))
+        return results
+
+    # ---- multi-party (>= 3 server) mesh path ----
+
+    def _answer_batch_mp(self, queries):
+        from ..dpf.device import mp_point_operands
+        from ..ops.scan import unpack_result_u32
+        from ..slot import Slot
+        from ..utils.bits import num_bits_for_height
+
+        q0 = queries[0]
+        g = q0.group_size
+        h = self.db.db_size // g
+        rows_per_shard = self._point_rows_per_shard(h)
+        total = self.n_shards * rows_per_shard
+        table = self._sharded_table(g, rows_per_shard)
+        nb = 32 if q0.is_keyword_based else num_bits_for_height(h)
+        if q0.is_keyword_based:
+            points = np.zeros(total, dtype=np.int64)
+            points[:h] = np.asarray(self.db.keywords[:h], dtype=np.int64)
+        else:
+            # padded rows evaluate masked garbage points against zero
+            # table rows: no contribution to the XOR scan
+            points = np.arange(total, dtype=np.int64)
+        ops = [mp_point_operands(
+            dpf_host.server_initialize(s.prf_keys, nb),
+            s.key_multi_party, points,
+        ) for s in queries]
+        p2 = ops[0][-1]
+        if p2 not in self._mp_steps:
+            self._mp_steps[p2] = make_sharded_mp_point_step(self.mesh, p2)
+        stack = lambda j: jnp.stack([jnp.asarray(o[j]) for o in ops])
+        out = np.asarray(self._mp_steps[p2](
+            table, stack(0), stack(1), stack(2), stack(3), stack(4),
+            stack(5),
+        ))
+        sb = self.db.slot_bytes
+        results = []
+        for i in range(len(queries)):
+            res = unpack_result_u32(out[i], g, sb)
+            results.append(_shared_result(sb, [Slot(res[c].tobytes())
+                                               for c in range(g)]))
+        return results
 
     # ---- host-path compatibility surface (audit reuse, fallbacks) ----
 
@@ -986,17 +1217,34 @@ class MeshPirServer:
             geo = self._compat_root_geometry(q0)
             if geo is not None:
                 return self._answer_batch_compat_root(queries, geo)
+        if uniform and self._points_applicable(q0):
+            from ..utils import pad_tile
+
+            n = len(queries)
+            m = pow2_padded_len(n, self.dp)
+            if q0.is_keyword_based and q0.is_two_party:
+                if m > n:
+                    queries = pad_tile(queries, m)
+                return self._answer_batch_keyword(queries)[:n]
+            if (not q0.is_two_party
+                    and len({q.key_multi_party.num_parties
+                             for q in queries}) == 1):
+                if m > n:
+                    queries = pad_tile(queries, m)
+                return self._answer_batch_mp(queries)[:n]
         if not root and (not uniform or not self._mesh_applicable(q0)):
             return [srv.private_secret_shared_query(self.db, q)
                     for q in queries]
-        # dp requires Q % dp == 0: pad by repeating (padding sliced off).
-        # The batch may be smaller than the pad needed (n=1, dp=3), so
-        # tile the whole batch as many times as it takes.
+        # dp requires Q % dp == 0, and every distinct Q compiles a fresh
+        # step shape: pad by repeating to a power-of-two per-shard slice
+        # (padding sliced off; the batch may be smaller than the pad
+        # needed — n=1, dp=3 — so tile the whole batch as needed).
         n = len(queries)
-        if n % self.dp:
+        m = pow2_padded_len(n, self.dp)
+        if m > n:
             from ..utils import pad_tile
 
-            queries = pad_tile(queries, n + self.dp - n % self.dp)
+            queries = pad_tile(queries, m)
         if root:
             return self._answer_batch_fast_root(queries)[:n]
         if q0.key_fast is not None:

@@ -245,10 +245,33 @@ class PirService:
             for s in shares
         )
 
+    @staticmethod
+    def _batch_uniform_mp(shares: list[QueryShare]) -> bool:
+        """Uniform multi-party (>= 3 server) batch of one kind."""
+        s0 = shares[0]
+        return all(
+            not s.is_two_party
+            and s.group_size == s0.group_size
+            and s.is_keyword_based == s0.is_keyword_based
+            and s.key_multi_party.num_parties == s0.key_multi_party.num_parties
+            for s in shares
+        )
+
     def _answer_batch(self, shares: list[QueryShare]) -> list[SecretSharedQueryResult]:
         if not shares:
             return []
         if not self._batch_uniform(shares):
+            # engines that shard the MP point eval (MeshPirServer) take
+            # uniform multi-party batches whole; everything else answers
+            # per-share so OP_QUERY_BATCH accepts all OP_QUERY traffic
+            batch = getattr(
+                self._engine, "private_secret_shared_query_batch", None
+            )
+            if (batch is not None
+                    and getattr(self._engine, "batch_accepts_multi_party",
+                                False)
+                    and self._batch_uniform_mp(shares)):
+                return batch(shares)
             return [self._answer(s) for s in shares]
         batch = getattr(self._engine, "private_secret_shared_query_batch", None)
         if batch is not None:  # tpu / mesh / native engines

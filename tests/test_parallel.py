@@ -345,3 +345,168 @@ def test_mesh_root_start_compat_path():
         rec = q.recover([o3[0][i], o3[1][i]])
         assert bytes(rec[0].data) == db3.data[idx].tobytes()
     assert not eng3._compat_root_tables
+
+
+def test_pow2_padded_len():
+    """Every mesh batch pads so each dp shard's slice is a power of two
+    (a power-of-two multiple of the query chunk above it), keeping the
+    compiled step-shape set logarithmic in batch size — each distinct Q
+    axis costs a fresh multi-minute remote compile (CLAUDE.md)."""
+    from pir_tpu.parallel.mesh import pow2_padded_len
+
+    # chunk=1: plain next-power-of-two per shard
+    assert pow2_padded_len(1, 1) == 1
+    assert pow2_padded_len(3, 1) == 4
+    assert pow2_padded_len(4, 1) == 4
+    assert pow2_padded_len(5, 2) == 8  # per-shard 3 -> 4
+    assert pow2_padded_len(1, 3) == 3  # n=1, dp=3 tiles up
+    # chunk>1: pow2 below the chunk, pow2 multiples of it above
+    assert pow2_padded_len(3, 1, chunk=16) == 4
+    assert pow2_padded_len(10, 1, chunk=16) == 16
+    assert pow2_padded_len(17, 1, chunk=16) == 32
+    assert pow2_padded_len(33, 1, chunk=16) == 64
+    assert pow2_padded_len(10, 2, chunk=4) == 16  # per-shard 5 -> 8
+    # non-pow2 chunk stays a valid slice size (<= chunk or multiple)
+    assert pow2_padded_len(10, 1, chunk=12) == 12
+    assert pow2_padded_len(13, 1, chunk=12) == 24
+    # padded length never shrinks and always divides by dp
+    for n in range(1, 70):
+        for dp in (1, 2, 3, 4):
+            for chunk in (1, 4, 12, 16):
+                m = pow2_padded_len(n, dp, chunk)
+                assert m >= n and m % dp == 0
+                per = m // dp
+                assert per <= chunk or per % chunk == 0
+
+
+def test_mesh_keyword_and_mp_point_paths():
+    """Keyword (2-party) and multi-party (>= 3 server) batches ride the
+    sharded point-eval steps — bit-exact per share vs the host golden
+    engine on a non-pow2 height, keyword + index MP domains, group_size
+    > 1, and live updates through the natural-order sharded table."""
+    from pir_tpu.parallel.mesh import MeshPirServer
+
+    rng = random.Random(11)
+    h = (1 << 11) + 77  # non-pow2: padded lanes on the last shard
+    db = generate_random_db(h, 12)
+    kws = np.random.default_rng(1).permutation(1 << 20)[:h].astype(np.uint64)
+    db.set_keywords(kws)
+    md = db.metadata()
+    eng = MeshPirServer(db, mesh=make_mesh(8, dp=2))
+    assert eng._points_applicable(
+        q.new_keyword_query_shares(md, int(kws[0]), 1, 2)[0])
+
+    # keyword 2-party batch: per-share exactness + recovery
+    targets = [int(kws[rng.randrange(h)]) for _ in range(5)]
+    sh = [q.new_keyword_query_shares(md, kw, 1, 2) for kw in targets]
+    outs = [eng.private_secret_shared_query_batch([s[k] for s in sh])
+            for k in range(2)]
+    assert eng._point_steps  # the sharded point step actually engaged
+    for i, kw in enumerate(targets):
+        for k in range(2):
+            want = srv.private_secret_shared_query(db, sh[i][k])
+            assert want.shares[0].equal(outs[k][i].shares[0]), (i, k)
+        rec = q.recover([outs[0][i], outs[1][i]])
+        row = int(np.where(kws == kw)[0][0])
+        assert bytes(rec[0].data) == db.data[row].tobytes(), (i, kw)
+
+    # index-domain MP (3-server) batch: per-share exactness + recovery
+    idxs = [rng.randrange(h) for _ in range(3)]
+    shm = [q.new_index_query_shares(md, i, 1, 3) for i in idxs]
+    outs_m = [eng.private_secret_shared_query_batch([s[k] for s in shm])
+              for k in range(3)]
+    assert eng._mp_steps  # the sharded MP step actually engaged
+    for i, idx in enumerate(idxs):
+        for k in range(3):
+            want = srv.private_secret_shared_query(db, shm[i][k])
+            assert want.shares[0].equal(outs_m[k][i].shares[0]), (i, k)
+        rec = q.recover([outs_m[k][i] for k in range(3)])
+        assert bytes(rec[0].data) == db.data[idx].tobytes(), (i, idx)
+
+    # keyword-domain MP (3-server)
+    kw2 = int(kws[rng.randrange(h)])
+    shk = [q.new_keyword_query_shares(md, kw2, 1, 3)]
+    outs_k = [eng.private_secret_shared_query_batch([s[k] for s in shk])
+              for k in range(3)]
+    rec = q.recover([outs_k[k][0] for k in range(3)])
+    row = int(np.where(kws == kw2)[0][0])
+    assert bytes(rec[0].data) == db.data[row].tobytes()
+
+    # live updates reach the point paths' natural-order sharded table
+    eng.apply_updates({row: bytes([5]) * 12})
+    sh_u = q.new_keyword_query_shares(md, kw2, 1, 2)
+    outs_u = [eng.private_secret_shared_query_batch([sh_u[k]])
+              for k in range(2)]
+    rec = q.recover([outs_u[0][0], outs_u[1][0]])
+    assert bytes(rec[0].data) == bytes([5]) * 12
+
+    # tiny domain: the 32-rows-per-shard gate falls back to the host path
+    db3 = generate_random_db(64, 8)
+    eng3 = MeshPirServer(db3, mesh=make_mesh(8, dp=2))
+    sh3 = q.new_index_query_shares(db3.metadata(), 5, 1, 3)
+    got = [eng3.private_secret_shared_query(s) for s in sh3]
+    rec = q.recover(got)
+    assert bytes(rec[0].data) == db3.data[5].tobytes()
+    assert not eng3._mp_steps
+
+
+def test_mesh_engine_keyword_and_mp_over_tcp():
+    """Keyword-DPF batches and >= 3-server MP batches served by the mesh
+    engine over real sockets (the service hands uniform MP batches to
+    the engine whole via batch_accepts_multi_party)."""
+    from pir_tpu.config import PirConfig
+    from pir_tpu.parallel.mesh import MeshPirServer
+    from pir_tpu.service import PirClient, PirService
+
+    h = 1 << 11
+    db = generate_random_db(h, 16)
+    kws = np.random.default_rng(3).permutation(1 << 18)[:h].astype(np.uint64)
+    db.set_keywords(kws)
+    cfg = PirConfig(engine="mesh", mesh_tp=4, mesh_dp=2)
+    services = [PirService(db, config=cfg).start() for _ in range(3)]
+    try:
+        assert isinstance(services[0]._engine, MeshPirServer)
+        client = PirClient([s.address for s in services])
+        # keyword batch falls out to 3 servers -> multi-party keyword
+        rng = random.Random(2)
+        rows = [rng.randrange(h) for _ in range(3)]
+        res = client.query_keyword_dpf_batch([int(kws[r]) for r in rows])
+        for r, out in zip(rows, res):
+            assert bytes(out[0].data) == db.data[r].tobytes(), r
+        assert services[0]._engine._mp_steps  # sharded MP step engaged
+        # index MP batch (>= 3 shares) through the same engines
+        res_i = client.query_index_batch([rows[0], rows[1]], fast=False)
+        for r, out in zip(rows[:2], res_i):
+            assert bytes(out[0].data) == db.data[r].tobytes(), r
+        client.close()
+    finally:
+        for s in services:
+            s.close()
+
+
+def test_mesh_engine_keyword_two_party_over_tcp():
+    """2-server keyword-DPF batch served by the mesh engine's sharded
+    point step over TCP."""
+    from pir_tpu.config import PirConfig
+    from pir_tpu.parallel.mesh import MeshPirServer
+    from pir_tpu.service import PirClient, PirService
+
+    h = 1 << 11
+    db = generate_random_db(h, 16)
+    kws = np.random.default_rng(4).permutation(1 << 18)[:h].astype(np.uint64)
+    db.set_keywords(kws)
+    cfg = PirConfig(engine="mesh", mesh_tp=8, mesh_dp=1)
+    services = [PirService(db, config=cfg).start() for _ in range(2)]
+    try:
+        assert isinstance(services[0]._engine, MeshPirServer)
+        client = PirClient([s.address for s in services])
+        rng = random.Random(6)
+        rows = [rng.randrange(h) for _ in range(3)]
+        res = client.query_keyword_dpf_batch([int(kws[r]) for r in rows])
+        for r, out in zip(rows, res):
+            assert bytes(out[0].data) == db.data[r].tobytes(), r
+        assert services[0]._engine._point_steps  # sharded point step
+        client.close()
+    finally:
+        for s in services:
+            s.close()
