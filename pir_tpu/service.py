@@ -62,6 +62,12 @@ OP_BST_LEVEL = 14
 # engines emulate the lag so the wire contract is engine-independent.
 OP_STREAM_SUBMIT = 15
 OP_STREAM_FLUSH = 16
+
+# batched shared-variant ASPIR: one frame and ONE audit rendezvous per
+# batch; verdicts are per query (slot slices of the concatenated audit
+# blob must XOR to zero individually)
+OP_ASPIR_SHARED_QUERY_BATCH = 17
+OP_ASPIR_AUDIT_SUBMIT_BATCH = 18
 # a protocol-level REFUSAL (failed ASPIR audit/authentication), distinct
 # from OP_ERROR so clients never have to classify by error text
 OP_DENIED = 254
@@ -100,6 +106,19 @@ def _pack_blobs(blobs: list[bytes]) -> bytes:
     return struct.pack("<I", len(blobs)) + b"".join(
         struct.pack("<I", len(b)) + b for b in blobs
     )
+
+
+def _unpack_blobs(payload: bytes, off: int = 0) -> list[bytes]:
+    """Inverse of _pack_blobs, starting at `off`."""
+    (count,) = struct.unpack_from("<I", payload, off)
+    off += 4
+    blobs = []
+    for _ in range(count):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        blobs.append(bytes(payload[off:off + ln]))
+        off += ln
+    return blobs
 
 
 def _decode_result_batch(op: int, payload: bytes):
@@ -324,15 +343,19 @@ class PirService:
         )
         return res, audit
 
-    def _audit_verdict(self, nonce: int, expected: int, share_bytes: bytes) -> int:
-        """Audit-leader rendezvous: collect `expected` audit shares for
-        `nonce`; verdict = 1 iff they XOR to zero (aspir.go:281-295).
-        Every submitting party blocks until the verdict is known.
+    _AUDIT_PENDING = object()
+
+    def _audit_acc(self, nonce: int, expected: int, share_bytes: bytes):
+        """Audit-leader rendezvous: collect `expected` audit-share blobs
+        for `nonce` and return their XOR accumulator (None on blob-length
+        mismatch). Every submitting party blocks until the accumulator is
+        known; verdicts are derived by the callers (whole-blob for single
+        queries, per-slot-slice for batches).
 
         A nonce whose rendezvous timed out is tombstoned for
         2*audit_timeout so a straggler fails fast instead of opening an
         orphan book; retries of a timed-out audit must therefore use a
-        FRESH nonce (PirClient draws one per query)."""
+        FRESH nonce (PirClient draws one per query/batch)."""
         import time
 
         deadline = time.monotonic() + self.audit_timeout
@@ -348,18 +371,21 @@ class PirService:
                     "audit incomplete: rendezvous already timed out"
                 )
             book = self._audit_book.setdefault(
-                nonce, {"shares": [], "verdict": None, "readers": 0}
+                nonce,
+                {"shares": [], "acc": self._AUDIT_PENDING, "readers": 0},
             )
             book["shares"].append(share_bytes)
             if len(book["shares"]) == expected:
-                acc = bytearray(len(share_bytes))
-                ok = all(len(s) == len(acc) for s in book["shares"])
-                for s in book["shares"]:
-                    for i, b in enumerate(s):
-                        acc[i] ^= b
-                book["verdict"] = 1 if (ok and not any(acc)) else 0
+                if len({len(s) for s in book["shares"]}) == 1:
+                    acc = bytearray(len(share_bytes))
+                    for s in book["shares"]:
+                        for i, b in enumerate(s):
+                            acc[i] ^= b
+                    book["acc"] = bytes(acc)
+                else:
+                    book["acc"] = None
                 self._audit_cond.notify_all()
-            while book["verdict"] is None:
+            while book["acc"] is self._AUDIT_PENDING:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     self._audit_book.pop(nonce, None)
@@ -370,11 +396,31 @@ class PirService:
                         "audit incomplete: not all servers submitted shares"
                     )
                 self._audit_cond.wait(remaining)
-            verdict = book["verdict"]
+            acc = book["acc"]
             book["readers"] += 1
             if book["readers"] >= expected:
                 self._audit_book.pop(nonce, None)
-        return verdict
+        return acc
+
+    def _audit_verdict(self, nonce: int, expected: int, share_bytes: bytes) -> int:
+        """Verdict = 1 iff all servers' audit shares XOR to zero
+        (aspir.go:281-295)."""
+        acc = self._audit_acc(nonce, expected, share_bytes)
+        return 1 if (acc is not None and not any(acc)) else 0
+
+    def _audit_verdict_vec(self, nonce: int, expected: int, blob: bytes,
+                           q: int, slot_len: int) -> bytes:
+        """Per-query verdict bitmap for a BATCH audit: each server's blob
+        is its Q concatenated audit-share slots (one rendezvous per
+        batch); query i passes iff its slot slice XORs to zero across
+        servers."""
+        acc = self._audit_acc(nonce, expected, blob)
+        if acc is None or len(acc) != q * slot_len:
+            return bytes(q)
+        return bytes(
+            0 if any(acc[i * slot_len:(i + 1) * slot_len]) else 1
+            for i in range(q)
+        )
 
     def _submit_audit_to_leader(self, nonce: int, expected: int, audit) -> int:
         payload = (struct.pack("<QB", nonce, expected)
@@ -386,6 +432,20 @@ class PirService:
         if op == OP_ERROR:
             raise RuntimeError(f"audit leader error: {resp.decode()}")
         return resp[0]
+
+    def _submit_audit_batch_to_leader(self, nonce: int, expected: int,
+                                      q: int, slot_len: int,
+                                      blob: bytes) -> bytes:
+        payload = struct.pack("<QBIH", nonce, expected, q, slot_len) + blob
+        with socket.create_connection(self.audit_leader,
+                                      timeout=self.audit_timeout) as sock:
+            _send_frame(sock, OP_ASPIR_AUDIT_SUBMIT_BATCH, payload)
+            op, resp = _recv_frame(sock)
+        if op == OP_ERROR:
+            raise RuntimeError(f"audit leader error: {resp.decode()}")
+        if len(resp) != q:
+            raise RuntimeError("audit leader returned a malformed bitmap")
+        return resp
 
     def apply_updates(self, updates: dict[int, bytes]) -> None:
         """Live slot updates on a running service (admin plane — an
@@ -591,6 +651,52 @@ class PirService:
                     "audit failed: auth key does not match the queried item"
                 )
             return OP_ASPIR_SHARED_QUERY, wire.serialize_shared_result(res)
+        if opcode == OP_ASPIR_SHARED_QUERY_BATCH:
+            # u64 nonce ‖ u8 num_servers ‖ packed AuthenticatedQueryShares.
+            # ONE audit rendezvous covers the batch (each server submits
+            # its Q concatenated audit slots under one nonce); data for
+            # query i is released only if ITS slot slices XOR to zero —
+            # per-query soundness, batch-level round trips.
+            nonce, expected = struct.unpack_from("<QB", payload, 0)
+            shares = [wire.deserialize_auth_share(b)
+                      for b in _unpack_blobs(payload, 9)]
+            if not shares:
+                raise ValueError("empty authenticated batch")
+            outs, audits = [], []
+            with self.metrics.timed_query(len(shares) * scan,
+                                          n=len(shares)):
+                for share in shares:
+                    res, audit = self._aspir_shared_answer(share)
+                    outs.append(res)
+                    audits.append(bytes(audit.t.data))
+            slot_len = len(audits[0])
+            if any(len(a) != slot_len for a in audits):
+                raise ValueError("non-uniform audit share sizes in batch")
+            blob = b"".join(audits)
+            if self.audit_leader is None:
+                verdicts = self._audit_verdict_vec(
+                    nonce, expected, blob, len(shares), slot_len
+                )
+            else:
+                verdicts = self._submit_audit_batch_to_leader(
+                    nonce, expected, len(shares), slot_len, blob
+                )
+            items = [
+                (b"\x01" + wire.serialize_shared_result(r)) if v else b"\x00"
+                for r, v in zip(outs, verdicts)
+            ]
+            return OP_ASPIR_SHARED_QUERY_BATCH, _pack_blobs(items)
+        if opcode == OP_ASPIR_AUDIT_SUBMIT_BATCH:
+            # u64 nonce ‖ u8 expected ‖ u32 q ‖ u16 slot_len ‖ blob
+            nonce, expected, qn, slot_len = struct.unpack_from(
+                "<QBIH", payload, 0
+            )
+            blob = bytes(payload[15:])
+            if len(blob) != qn * slot_len:
+                raise ValueError("malformed batch audit blob")
+            return OP_ASPIR_AUDIT_SUBMIT_BATCH, self._audit_verdict_vec(
+                nonce, expected, blob, qn, slot_len
+            )
         if opcode == OP_BST_META:
             if self.bst is None:
                 raise ValueError("this service hosts no BST keyword index")
@@ -883,6 +989,68 @@ class PirClient:
         if errors:
             raise RuntimeError(errors[0])
         return recover([wire.deserialize_shared_result(p) for _, p in resps])
+
+    def query_index_authenticated_batch(self, indices: list[int], auth_keys,
+                                        group_size: int = 1,
+                                        fast: bool = False,
+                                        strict: bool = True):
+        """Batched shared-variant authenticated retrieval: ONE frame and
+        ONE audit rendezvous per server for the whole batch, with
+        per-query verdicts (each query's audit slots must XOR to zero
+        individually — aspir.go:281-295 applied slot-wise). strict=True
+        raises PermissionError if any query's audit fails; strict=False
+        returns None at the failed positions instead."""
+        import secrets as _secrets
+
+        from .aspir_shared import new_authenticated_index_query_shares
+
+        if not (self.db_flags & wire.META_HAS_KEY_DB):
+            raise RuntimeError("services host no auth-key database")
+        if len(indices) != len(auth_keys):
+            raise ValueError("indices and auth_keys must align")
+        n = len(self._socks)
+        share_lists = [
+            new_authenticated_index_query_shares(
+                self.metadata, idx, key, group_size, n, fast=fast
+            )
+            for idx, key in zip(indices, auth_keys)
+        ]
+        nonce = _secrets.randbits(64)
+        head = struct.pack("<QB", nonce, n)
+        per_server = [
+            head + _pack_blobs([wire.serialize_auth_share(sl[k])
+                                for sl in share_lists])
+            for k in range(n)
+        ]
+        resps = []
+        with self._lock:
+            for sock, payload in zip(self._socks, per_server):
+                _send_frame(sock, OP_ASPIR_SHARED_QUERY_BATCH, payload)
+            for sock in self._socks:
+                resps.append(_recv_frame(sock))
+        refusals = [p.decode() for op, p in resps if op == OP_DENIED]
+        if refusals:
+            raise PermissionError(refusals[0])
+        errors = [p.decode() for op, p in resps if op == OP_ERROR]
+        if errors:
+            raise RuntimeError(errors[0])
+        per_server_items = [_unpack_blobs(p) for _, p in resps]
+        out, failed = [], []
+        for i in range(len(indices)):
+            items = [srv_items[i] for srv_items in per_server_items]
+            if any(it[:1] != b"\x01" for it in items):
+                failed.append(i)
+                out.append(None)
+                continue
+            out.append(recover([
+                wire.deserialize_shared_result(it[1:]) for it in items
+            ]))
+        if failed and strict:
+            raise PermissionError(
+                f"audit failed for {len(failed)} of {len(indices)} "
+                f"queries (positions {failed})"
+            )
+        return out
 
     def fetch_audit_shares(self, index: int, auth_key, group_size: int = 1,
                            fast: bool = False):

@@ -260,3 +260,58 @@ def test_audit_rendezvous_timeout_tombstone():
         svc._audit_verdict(nonce=42, expected=2, share_bytes=b"\x01\x02")
     assert time.monotonic() - t0 < 0.1
     assert 42 not in svc._audit_book
+
+
+def test_shared_aspir_batch_over_tcp():
+    """Batched authenticated retrieval: ONE frame + ONE audit rendezvous
+    per server for the whole batch, per-query verdicts (a wrong key
+    fails only ITS query). Covers leader topology, 3 servers, fast mode,
+    and strict vs non-strict surfaces."""
+    rng = random.Random(4)
+    db = generate_random_db(1 << 8, 16)
+    key_db = generate_random_db(1 << 8, SEC_BYTES)
+    services = _services(db, key_db, 3)
+    try:
+        client = PirClient([s.address for s in services])
+        # all-correct batch (fast mode is two-party only; covered below)
+        idxs = [rng.randrange(db.db_size) for _ in range(4)]
+        res = client.query_index_authenticated_batch(
+            idxs, [key_db.slot(i) for i in idxs]
+        )
+        for i, r in zip(idxs, res):
+            assert bytes(r[0].data) == db.data[i].tobytes(), i
+        # one wrong key: strict raises naming the position...
+        idxs = [3, 7, 11]
+        keys = [key_db.slot(3), key_db.slot(8), key_db.slot(11)]
+        with pytest.raises(PermissionError, match=r"positions \[1\]"):
+            client.query_index_authenticated_batch(idxs, keys)
+        # ...non-strict returns None only there, data elsewhere
+        res = client.query_index_authenticated_batch(idxs, keys,
+                                                     strict=False)
+        assert res[1] is None
+        assert bytes(res[0][0].data) == db.data[3].tobytes()
+        assert bytes(res[2][0].data) == db.data[11].tobytes()
+        client.close()
+    finally:
+        for s in services:
+            s.close()
+
+
+def test_shared_aspir_batch_leaderless_two_servers():
+    """2-server batch where server 0 IS the leader (no submit hop)."""
+    db = generate_random_db(1 << 8, 12)
+    key_db = generate_random_db(1 << 8, SEC_BYTES)
+    services = _services(db, key_db, 2)
+    try:
+        client = PirClient([s.address for s in services])
+        for fast in (False, True):
+            idxs = [9, 9, 200]  # duplicate indices in one batch
+            res = client.query_index_authenticated_batch(
+                idxs, [key_db.slot(i) for i in idxs], fast=fast
+            )
+            for i, r in zip(idxs, res):
+                assert bytes(r[0].data) == db.data[i].tobytes(), (i, fast)
+        client.close()
+    finally:
+        for s in services:
+            s.close()
