@@ -7,9 +7,12 @@ an encrypted selection, Σ_row Enc(bit_row)·slot_chunk, per column and
 chunk; the recursive variant re-selects over the level-1 ciphertexts with
 level-2 ConstMult/Add.
 
-Host-resident by design: Paillier modexp does not map onto TPU compute
-units (SURVEY.md §7); the native C accelerator (pir_tpu/native) offloads
-the modexps when built.
+Three scan engines, all returning identical ciphertext bytes: the pure
+CPython loop (golden), the native C accelerator (pir_tpu/native, the
+reference's nprocs goroutine fan-out as threads), and — opt-in via
+engine="tpu" — the batched Montgomery multi-exponentiation engine on
+the TPU VPU (crypto/mont_tpu.py), which vectorizes the per-row modexps
+across lanes instead of across host threads.
 """
 
 from __future__ import annotations
@@ -154,8 +157,38 @@ def _native_scan():
         return None
 
 
+def _scan_fn(engine: str | None, e_max: int):
+    """Resolve the batched multi-exponentiation backend.
+
+    Returns scan(ebs, vals, width_cts, mod) -> list[int] or None (pure
+    CPython fallback). engine: None/'auto' prefers native then CPython
+    (the TPU engine is opt-in — its value is batch throughput on big
+    scans, and remote compiles are expensive on relay rigs); 'tpu' runs
+    the batched Montgomery engine on the default JAX backend with the
+    protocol-level exponent bound `e_max`; 'native' requires the C++
+    engine; 'python' forces the CPython loop.
+    """
+    if engine == "tpu":
+        from .crypto.mont_tpu import tpu_paillier_scan
+
+        return lambda ebs, vals, wc, mod, nprocs=None: tpu_paillier_scan(
+            ebs, vals, wc, mod, e_max=e_max
+        )
+    if engine == "python":
+        return None
+    nat = _native_scan()
+    if engine == "native" and nat is None:
+        raise RuntimeError("native bigmod engine unavailable")
+    if nat is None:
+        return None
+    return lambda ebs, vals, wc, mod, nprocs=None: nat.paillier_scan(
+        ebs, vals, wc, mod, nprocs or 0
+    )
+
+
 def private_encrypted_query(
-    db: Database, query: EncryptedQuery, nprocs: int | None = None
+    db: Database, query: EncryptedQuery, nprocs: int | None = None,
+    engine: str | None = None,
 ) -> EncryptedQueryResult:
     """The AHE scan (db.go:176-271).
 
@@ -166,13 +199,17 @@ def private_encrypted_query(
     the native engine partitions rows across that many threads with a
     partial-product merge (nprocs=None: all cores). Note the dev rig has
     one core; the threading pays off on multi-core serving hosts.
+
+    `engine` selects the multi-exponentiation backend (see _scan_fn);
+    every backend returns identical ciphertext values (the scan is
+    deterministic given the query).
     """
     pk = query.pk
     dim_width, dim_height = query.db_width, query.db_height
     num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
 
-    nat = _native_scan()
-    if nat is not None:
+    scan = _scan_fn(engine, e_max=8 * msg_space_bytes(pk))
+    if scan is not None:
         # exponent matrix: out-of-range slots keep exponent 0, whose
         # selection is the multiplicative identity == the reference's
         # `continue` skip
@@ -190,7 +227,7 @@ def private_encrypted_query(
                     num_bytes_per_ciphertext = per
                 vals[base + col * num_cts:base + (col + 1) * num_cts] = int_arr
         ebs = [query.ebits[row].c for row in range(dim_height)]
-        out = nat.paillier_scan(ebs, vals, width_cts, pk.n2, nprocs or 0)
+        out = scan(ebs, vals, width_cts, pk.n2, nprocs)
         slots = [
             EncryptedSlot([
                 Ciphertext(out[col * num_cts + j], ENC_LEVEL_ONE)
@@ -224,22 +261,23 @@ def private_encrypted_query(
 
 
 def private_doubly_encrypted_query(
-    db: Database, query: DoublyEncryptedQuery, nprocs: int | None = None
+    db: Database, query: DoublyEncryptedQuery, nprocs: int | None = None,
+    engine: str | None = None,
 ) -> DoublyEncryptedQueryResult:
     """db.go:273-292: row pass then column pass."""
     if query.row.group_size > db.db_size or query.row.group_size == 0:
         raise ValueError("invalid group size provided in query")
     if query.col.group_size > query.row.db_width or query.col.group_size == 0:
         raise ValueError("invalid group size provided in query")
-    row_res = private_encrypted_query(db, query.row, nprocs)
+    row_res = private_encrypted_query(db, query.row, nprocs, engine)
     return private_encrypted_query_over_encrypted_result(
-        db, query.col, row_res, nprocs
+        db, query.col, row_res, nprocs, engine
     )
 
 
 def private_encrypted_query_over_encrypted_result(
     db: Database, query: EncryptedQuery, result: EncryptedQueryResult,
-    nprocs: int | None = None,
+    nprocs: int | None = None, engine: str | None = None,
 ) -> DoublyEncryptedQueryResult:
     """db.go:294-358: level-2 selection over level-1 ciphertext values."""
     pk = query.pk
@@ -248,8 +286,9 @@ def private_encrypted_query_over_encrypted_result(
     if len(result.slots) % g != 0:
         raise ValueError("row has a size that is not a multiple of the group size")
 
-    nat = _native_scan()
-    if nat is not None:
+    # level-2 exponents are full level-1 ciphertext values (db.go:332)
+    scan = _scan_fn(engine, e_max=pk.n2.bit_length())
+    if scan is not None:
         # reorganize as one scan over column *blocks*: out[member][j] =
         # prod_block ebits[block]^{slots[block*g+member].cts[j].c} mod N^3
         num_blocks = len(result.slots) // g
@@ -261,7 +300,7 @@ def private_encrypted_query_over_encrypted_result(
             for member in range(g)
             for j in range(num_cts)
         ]
-        out = nat.paillier_scan(ebs, vals, width_cts, pk.n3, nprocs or 0)
+        out = scan(ebs, vals, width_cts, pk.n3, nprocs)
         res = [
             [Ciphertext(out[member * num_cts + j], ENC_LEVEL_TWO)
              for j in range(num_cts)]

@@ -1,0 +1,183 @@
+"""Bit-exactness of the TPU Montgomery engine (crypto/mont_tpu.py).
+
+Every case is checked against CPython integer arithmetic (pow / %),
+which is the same oracle the Paillier host implementation rests on.
+Runs on the CPU backend in CI; the kernels are backend-agnostic XLA.
+"""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pir_tpu.crypto.mont_tpu import (
+    MASK,
+    RADIX,
+    ints_to_limbs,
+    limbs_to_int,
+    mont_ctx,
+    mont_mul,
+    pack_exponents,
+    tpu_paillier_scan,
+    tpu_powmod_batch,
+)
+
+rng = random.Random(0xC0FFEE)
+
+
+def random_odd(bits: int) -> int:
+    m = rng.getrandbits(bits) | (1 << (bits - 1)) | 1
+    return m
+
+
+MODULI = [
+    random_odd(61),
+    random_odd(256),
+    (1 << 255) - 19,          # structured: low-weight prime
+    (1 << 511) - 1,           # all-ones limbs (Mersenne composite)
+    random_odd(1024),
+    random_odd(2049),         # odd bit length straddling a limb boundary
+]
+
+
+@pytest.mark.parametrize("m", MODULI, ids=lambda m: f"{m.bit_length()}b")
+def test_mont_mul_exact(m):
+    ctx = mont_ctx(m)
+    r = 1 << (RADIX * ctx.L)
+    assert r >= 4 * m  # chaining bound
+    n = jnp.asarray(ctx.n_limbs)
+    n_inv = jnp.uint32(ctx.n_inv)
+    cases = [
+        (rng.randrange(m), rng.randrange(m)) for _ in range(8)
+    ] + [(m - 1, m - 1), (0, m - 1), (1, 1), (m - 1, 1)]
+    a = jnp.asarray(ints_to_limbs([c[0] for c in cases], ctx.L))
+    b = jnp.asarray(ints_to_limbs([c[1] for c in cases], ctx.L))
+    out = np.asarray(mont_mul(a, b, n, n_inv))
+    # limbs stay canonical (<= 2^15) and the top limb never carries out
+    assert out.max() <= (1 << RADIX)
+    r_inv = pow(r, -1, m)
+    for i, (x, y) in enumerate(cases):
+        got = limbs_to_int(out[i])
+        assert got < 2 * m  # chaining bound, not necessarily reduced
+        assert got % m == (x * y * r_inv) % m
+
+
+@pytest.mark.parametrize("m", MODULI[:4], ids=lambda m: f"{m.bit_length()}b")
+def test_mont_mul_chain_redundant_inputs(m):
+    """Outputs (< 2m, canonical limbs) must be valid inputs: chain 50
+    products and compare against the integer chain."""
+    ctx = mont_ctx(m)
+    n = jnp.asarray(ctx.n_limbs)
+    n_inv = jnp.uint32(ctx.n_inv)
+    r = 1 << (RADIX * ctx.L)
+    r_inv = pow(r, -1, m)
+    x = rng.randrange(1, m)
+    acc = jnp.asarray(ints_to_limbs([x], ctx.L))
+    expect = x
+    for _ in range(50):
+        acc = mont_mul(acc, acc, n, n_inv)
+        expect = expect * expect * r_inv % m
+        assert np.asarray(acc).max() <= (1 << RADIX)
+    got = limbs_to_int(np.asarray(acc)[0])
+    assert got < 2 * m and got % m == expect
+
+
+def test_powmod_batch_matches_pow():
+    m = random_odd(700)
+    bases = [rng.randrange(m) for _ in range(33)] + [0, 1, m - 1]
+    exps = [rng.getrandbits(rng.randrange(1, 120)) for _ in range(33)]
+    exps += [0, 1, (1 << 64) - 1]
+    got = tpu_powmod_batch(bases, exps, m)
+    assert got == [pow(b, e, m) for b, e in zip(bases, exps)]
+
+
+def test_powmod_zero_exponent_is_identity():
+    m = MODULI[1]
+    assert tpu_powmod_batch([0, 5, m - 1], [0, 0, 0], m) == [1, 1, 1]
+
+
+@pytest.mark.parametrize("height,width_cts", [(1, 1), (5, 3), (64, 2), (67, 1)])
+def test_paillier_scan_matches_int_arithmetic(height, width_cts):
+    m = random_odd(512)
+    ebits = [rng.randrange(1, m) for _ in range(height)]
+    vals = [rng.getrandbits(96) if rng.random() < 0.8 else 0
+            for _ in range(height * width_cts)]
+    got = tpu_paillier_scan(ebits, vals, width_cts, m, row_chunk=32)
+    for w in range(width_cts):
+        expect = 1
+        for r in range(height):
+            expect = expect * pow(ebits[r], vals[r * width_cts + w], m) % m
+        assert got[w] == expect
+
+
+def test_paillier_scan_big_exponents_level2_shape():
+    """Level-2 scans exponentiate by full ciphertext values (bits(N^2))."""
+    m = random_odd(384)
+    ebits = [rng.randrange(1, m) for _ in range(6)]
+    vals = [rng.randrange(m) for _ in range(6)]
+    got = tpu_paillier_scan(ebits, vals, 1, m, e_max=m.bit_length())
+    expect = 1
+    for b, e in zip(ebits, vals):
+        expect = expect * pow(b, e, m) % m
+    assert got == [expect]
+
+
+def test_limb_roundtrip_and_packing():
+    xs = [0, 1, MASK, 1 << RADIX, rng.getrandbits(300)]
+    L = (300 + RADIX) // RADIX + 1
+    arr = ints_to_limbs(xs, L)
+    assert [limbs_to_int(a) for a in arr] == xs
+    e = pack_exponents([0, 1, (1 << 64) - 1], 64)
+    assert e.shape == (3, 2)
+    assert e[2].tolist() == [0xFFFFFFFF, 0xFFFFFFFF]
+
+
+def test_rejects_even_modulus():
+    with pytest.raises(ValueError):
+        mont_ctx(100)
+
+
+# --------------------------------------------------------------------------
+# cPIR integration: the TPU engine must produce the SAME ciphertexts as
+# the CPython scan (the product is deterministic given the query)
+# --------------------------------------------------------------------------
+
+def test_cpir_tpu_engine_matches_python():
+    from pir_tpu import encrypted as enc
+    from pir_tpu.crypto.paillier import keygen
+    from pir_tpu.database import generate_random_db
+
+    sk, pk = keygen(128)
+    db = generate_random_db(64, 3)
+    q_row = 3
+    q = enc.new_encrypted_query(db.metadata(), pk, 1, q_row)
+    res_py = enc.private_encrypted_query(db, q, engine="python")
+    res_tpu = enc.private_encrypted_query(db, q, engine="tpu")
+    assert [[ct.c for ct in s.cts] for s in res_py.slots] == \
+           [[ct.c for ct in s.cts] for s in res_tpu.slots]
+    got = enc.recover_encrypted(res_tpu, sk)
+    for j in range(q.db_width):
+        index = q_row * q.db_width + j
+        if index >= db.db_size:
+            break
+        assert db.slot(index).equal(got[j])
+
+
+def test_cpir_doubly_encrypted_tpu_engine_end_to_end():
+    from pir_tpu import encrypted as enc
+    from pir_tpu.crypto.paillier import keygen
+    from pir_tpu.database import generate_random_db
+
+    sk, pk = keygen(128)
+    db = generate_random_db(64, 3)
+    index = 29
+    q = enc.new_doubly_encrypted_query(db.metadata(), pk, 2, index)
+    res_py = enc.private_doubly_encrypted_query(db, q, engine="python")
+    res_tpu = enc.private_doubly_encrypted_query(db, q, engine="tpu")
+    assert [[ct.c for ct in s.cts] for s in res_py.slots] == \
+           [[ct.c for ct in s.cts] for s in res_tpu.slots]
+    got_tpu = enc.recover_doubly_encrypted(res_tpu, sk)
+    got_py = enc.recover_doubly_encrypted(res_py, sk)
+    assert [s.data for s in got_tpu] == [s.data for s in got_py]
+    assert any(s.data == db.slot(index).data for s in got_tpu)
