@@ -20,6 +20,10 @@ class PirConfig:
 
     # engines
     engine: str = "auto"  # auto | host | native | tpu | mesh
+    # cPIR multi-exponentiation backend (encrypted._scan_fn): None =
+    # auto (native C++ then CPython); 'tpu' = the batched Montgomery
+    # engine on the JAX backend (crypto/mont_tpu.py)
+    paillier_engine: str | None = None
     min_device_nodes: int = 32  # host-prefix cutoff for TPU expansion
     # Pallas kernel dispatch for the TPU engine: None = auto (on for the
     # TPU backend only); True forces interpret-mode kernels off-TPU
@@ -42,6 +46,8 @@ class PirConfig:
             raise ValueError("need at least 2 non-colluding servers")
         if self.engine not in ("auto", "host", "native", "tpu", "mesh"):
             raise ValueError(f"unknown engine {self.engine}")
+        if self.paillier_engine not in (None, "tpu", "native", "python"):
+            raise ValueError(f"unknown paillier engine {self.paillier_engine}")
         if self.group_size < 1:
             raise ValueError("group_size must be >= 1")
         if self.mesh_tp < 1 or self.mesh_dp < 1:

@@ -59,12 +59,35 @@ def _powmod(b: int, e: int, m: int) -> int:
     return pow(b, e, m)
 
 
+_tpu_modexp = False
+_TPU_MODEXP_MIN_BATCH = 16
+
+
+def enable_tpu_modexp(enabled: bool = True) -> None:
+    """Route batched modexps (DDLEQ prove/verify repetitions, randomness
+    extraction) through the TPU Montgomery engine (crypto/mont_tpu.py)
+    when the batch is large enough. Opt-in: the host/native path stays
+    the default because tiny batches are latency-bound through the
+    device relay and each new shape compiles."""
+    global _tpu_modexp
+    _tpu_modexp = enabled
+
+
 def _powmod_batch(bases, exps, m: int, common_base: bool = False,
                   nthreads: int = 0) -> list[int]:
     """Batched modexps over one modulus, threaded across cores when the
     native engine is available (nthreads<=0: all cores). common_base=True
     shares one window table across the batch (bases is a single int)."""
     if (m & 1) and m.bit_length() >= 256 and all(e >= 0 for e in exps):
+        if _tpu_modexp and len(exps) >= _TPU_MODEXP_MIN_BATCH:
+            from .mont_tpu import tpu_powmod_batch
+
+            bs = [bases] * len(exps) if common_base else list(bases)
+            # protocol-level exponent bound (n / n^2 sized), rounded so
+            # the compiled shape set stays small across proof runs
+            e_max = max((e.bit_length() for e in exps), default=1)
+            e_max = max(256, (e_max + 255) // 256 * 256)
+            return tpu_powmod_batch(bs, exps, m, e_max=e_max)
         nat = _native_mod()
         if nat is not None:
             return nat.powmod_batch(bases, exps, m, common_base, nthreads)

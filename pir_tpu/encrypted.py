@@ -208,7 +208,9 @@ def private_encrypted_query(
     dim_width, dim_height = query.db_width, query.db_height
     num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
 
-    scan = _scan_fn(engine, e_max=8 * msg_space_bytes(pk))
+    # exponents are slot chunks of ceil(slot_bytes/num_cts) bytes each
+    # (slot.go:67-93) — a layout-level bound, independent of slot data
+    scan = _scan_fn(engine, e_max=8 * math.ceil(db.slot_bytes / num_cts))
     if scan is not None:
         # exponent matrix: out-of-range slots keep exponent 0, whose
         # selection is the multiplicative identity == the reference's

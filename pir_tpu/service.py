@@ -566,14 +566,18 @@ class PirService:
 
             q = wire.deserialize_encrypted_query(payload)
             with self.metrics.timed_query(scan):
-                res = private_encrypted_query(self.db, q)
+                res = private_encrypted_query(
+                    self.db, q, engine=self.config.paillier_engine
+                )
             return OP_ENCRYPTED_QUERY, wire.serialize_encrypted_result(res)
         if opcode == OP_ENCRYPTED_QUERY_REC:
             from .encrypted import private_doubly_encrypted_query
 
             q = wire.deserialize_doubly_encrypted_query(payload)
             with self.metrics.timed_query(scan):
-                res = private_doubly_encrypted_query(self.db, q)
+                res = private_doubly_encrypted_query(
+                    self.db, q, engine=self.config.paillier_engine
+                )
             return OP_ENCRYPTED_QUERY_REC, wire.serialize_doubly_encrypted_result(res)
         if opcode == OP_ASPIR_CHAL:
             # u32 secparam ‖ AuthenticatedEncryptedQuery. The challenge

@@ -164,6 +164,48 @@ def test_cpir_tpu_engine_matches_python():
         assert db.slot(index).equal(got[j])
 
 
+def test_cpir_served_with_tpu_paillier_engine():
+    """A PirService configured with paillier_engine='tpu' must serve
+    identical cPIR answers over TCP."""
+    from pir_tpu.config import PirConfig
+    from pir_tpu.crypto.paillier import keygen
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.service import PirClient, PirService
+
+    sk, pk = keygen(128)
+    db = generate_random_db(64, 3)
+    svc = PirService(db, config=PirConfig(paillier_engine="tpu")).start()
+    try:
+        client = PirClient([svc.address])
+        got = client.query_encrypted(2, sk, pk, group_size=1)
+        w = len(got)
+        for j in range(w):
+            idx = 2 * w + j
+            if idx < db.db_size:
+                assert got[j].data == db.slot(idx).data
+    finally:
+        svc.close()
+
+
+def test_ddleq_roundtrip_with_tpu_modexp():
+    """DDLEQ prove/verify with batched modexps routed through the TPU
+    engine (paillier.enable_tpu_modexp) must behave identically."""
+    from pir_tpu.crypto import paillier
+    from pir_tpu.crypto.paillier import keygen
+
+    sk, pk = keygen(128)
+    ct1 = pk.encrypt_zero(2)
+    ct2, a, b = sk.nested_randomize(ct1)
+    paillier.enable_tpu_modexp(True)
+    try:
+        proof = sk.prove_ddleq(2, ct1, ct2, a, b)
+        assert pk.verify_ddleq(ct1, ct2, proof)
+        other = pk.encrypt_zero(2)
+        assert not pk.verify_ddleq(other, ct2, proof)
+    finally:
+        paillier.enable_tpu_modexp(False)
+
+
 def test_cpir_doubly_encrypted_tpu_engine_end_to_end():
     from pir_tpu import encrypted as enc
     from pir_tpu.crypto.paillier import keygen
