@@ -7,7 +7,8 @@ Feature-parity rebuild of the mvmcconnell/pir reference library
   evaluated full-domain on the TPU VPU, fused with a masked-XOR scan.
 * Keyword PIR: sqrt search tree + DPF over the 32-bit keyword space.
 * Single-server cPIR: nested Paillier (Damgård–Jurik), recursive
-  (doubly-encrypted) queries — host-resident by design.
+  (doubly-encrypted) queries — CPython / native C++ / TPU batched
+  Montgomery engines, bit-identical answers.
 * ASPIR (authenticated PIR), both secret-shared and AHE variants.
 * Engines: host numpy golden, native C++/AES-NI, TPU (single chip and
   mesh-sharded via shard_map), plus a TCP service shell.

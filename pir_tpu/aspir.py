@@ -105,14 +105,16 @@ def new_authenticated_query(
 
 
 def generate_auth_chal_for_query(
-    secparam: int, key_db: Database, query: AuthenticatedEncryptedQuery
+    secparam: int, key_db: Database, query: AuthenticatedEncryptedQuery,
+    engine: str | None = None,
 ) -> ChalToken:
     """aspir.go:62-108.
 
     The key DB has one entry per group, so the column query runs with
     group size 1 and the row width divided by the data group size. The
     reference mutates the query struct and restores it (aspir.go:69-76,
-    100-105); we adjust copies instead.
+    100-105); we adjust copies instead. `engine` selects the cPIR scan
+    backend (encrypted._scan_fn) for both passes.
     """
     from dataclasses import replace
 
@@ -126,10 +128,14 @@ def generate_auth_chal_for_query(
 
     q0, q1 = narrowed(query.query0), narrowed(query.query1)
 
-    row_res0 = private_encrypted_query(key_db, q0.row)
-    row_res1 = private_encrypted_query(key_db, q1.row)
-    res0 = private_encrypted_query_over_encrypted_result(key_db, q0.col, row_res0)
-    res1 = private_encrypted_query_over_encrypted_result(key_db, q1.col, row_res1)
+    row_res0 = private_encrypted_query(key_db, q0.row, engine=engine)
+    row_res1 = private_encrypted_query(key_db, q1.row, engine=engine)
+    res0 = private_encrypted_query_over_encrypted_result(
+        key_db, q0.col, row_res0, engine=engine
+    )
+    res1 = private_encrypted_query_over_encrypted_result(
+        key_db, q1.col, row_res1, engine=engine
+    )
 
     return ChalToken(res0.slots[0].cts[0], res1.slots[0].cts[0], secparam)
 

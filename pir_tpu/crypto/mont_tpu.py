@@ -165,16 +165,28 @@ def mont_mul(a, b, n, n_inv):
 
 
 def mont_exp(base, e, e_max: int, n, n_inv, one_mont):
-    """Batched base^e / R^(...) — Montgomery-domain modexp.
+    """Batched base^e — Montgomery-domain modexp (constant shape;
+    exponent bits only drive lane-wise selects).
 
     base: (..., L) canonical Montgomery-domain limbs; e: (..., EW) packed
     uint32 exponent words (little-endian); e_max: static bit bound.
-    MSB-first square-and-multiply; the multiply is always computed and
-    lane-selected by the exponent bit (constant shape).
+    Dispatches to a 4-bit fixed-window ladder when the exponent is long
+    enough to amortize the 15-entry power table (5 products per 4 bits
+    + 15 setup vs 8 — ~1.6x fewer for 1-3k-bit exponents) and the table
+    fits comfortably; binary square-and-multiply otherwise.
     """
-    acc0 = jnp.broadcast_to(
-        one_mont, jnp.broadcast_shapes(base.shape, e.shape[:-1] + (n.shape[-1],))
+    out_shape = jnp.broadcast_shapes(
+        base.shape, e.shape[:-1] + (n.shape[-1],)
     )
+    table_bytes = 16 * 4 * int(np.prod(out_shape, dtype=np.int64))
+    if e_max >= 64 and table_bytes <= 256 * 1024 * 1024:
+        return _mont_exp_win4(base, e, e_max, n, n_inv, one_mont, out_shape)
+    return _mont_exp_bin(base, e, e_max, n, n_inv, one_mont, out_shape)
+
+
+def _mont_exp_bin(base, e, e_max: int, n, n_inv, one_mont, out_shape):
+    """MSB-first square-and-always-multiply, bit-selected lanes."""
+    acc0 = jnp.broadcast_to(one_mont, out_shape)
 
     def body(k, acc):
         kk = e_max - 1 - k
@@ -187,6 +199,34 @@ def mont_exp(base, e, e_max: int, n, n_inv, one_mont):
         return jnp.where(bit.astype(bool), mul, acc)
 
     return jax.lax.fori_loop(0, e_max, body, acc0)
+
+
+def _mont_exp_win4(base, e, e_max: int, n, n_inv, one_mont, out_shape):
+    """MSB-first 4-bit fixed-window ladder. Windows never straddle the
+    packed 32-bit exponent words (4 | 32); the window digit selects from
+    the 16-entry power table by a one-hot sum (no gathers — exact in
+    uint32 since exactly one term is live per lane)."""
+    g = jnp.broadcast_to(one_mont, out_shape)
+    table = [g]
+    for _ in range(15):
+        table.append(mont_mul(table[-1], base, n, n_inv))
+    tbl = jnp.stack(table, axis=-2)  # (..., 16, L)
+    ks = jnp.arange(16, dtype=jnp.uint32)
+    nwin = (e_max + 3) // 4
+
+    def body(w, acc):
+        bitpos = (nwin - 1 - w) * 4
+        for _ in range(4):
+            acc = mont_mul(acc, acc, n, n_inv)
+        word = jax.lax.dynamic_index_in_dim(
+            e, bitpos // 32, axis=-1, keepdims=False
+        )
+        digit = (word >> jnp.uint32(bitpos % 32)) & jnp.uint32(15)
+        onehot = (digit[..., None] == ks).astype(jnp.uint32)  # (..., 16)
+        sel = jnp.sum(tbl * onehot[..., None], axis=-2, dtype=jnp.uint32)
+        return mont_mul(acc, sel, n, n_inv)
+
+    return jax.lax.fori_loop(0, nwin, body, g)
 
 
 def _tree_product(x, n, n_inv):

@@ -19,8 +19,11 @@ Implementation notes / design divergences (documented deliberately):
 * Arithmetic uses CPython bignums (pow); the C accelerator in
   pir_tpu/native offloads the hot modexps when built.
 
-The TPU is deliberately not involved: bignum modexp does not map onto the
-MXU/VPU (SURVEY.md §7 design stance); cPIR remains host-resident.
+Batched modexps (cPIR scans, DDLEQ repetitions) can additionally run on
+the TPU VPU via crypto/mont_tpu.py (radix-2^15 Montgomery in uint32
+lanes) — opt-in through enable_tpu_modexp() here and
+PirConfig.paillier_engine for served scans; single modexps stay on the
+host (latency-bound through the device relay).
 """
 
 from __future__ import annotations

@@ -589,7 +589,8 @@ class PirService:
             (secparam,) = struct.unpack_from("<I", payload, 0)
             q = wire.deserialize_auth_query(payload[4:])
             chal = generate_auth_chal_for_query(
-                secparam, self._require_key_db(), q
+                secparam, self._require_key_db(), q,
+                engine=self.config.paillier_engine,
             )
             with self._chal_lock:
                 chal_id = self._chal_next
