@@ -34,11 +34,14 @@ def main():
     W = int(os.environ.get("PAILLIER_W", "32"))
     rng = random.Random(7)
 
+    from pir_tpu import config as pir_config
     from pir_tpu import encrypted as enc
     from pir_tpu.crypto import mont_tpu
     from pir_tpu.crypto.paillier import keygen
     from pir_tpu.database import generate_random_db
     from pir_tpu.native import bigmod_available, paillier_scan
+
+    pir_config.enable_compile_cache()  # reuse executables across runs
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"keygen({bits}) ...")
@@ -134,6 +137,38 @@ def main():
         finally:
             paillier.enable_tpu_modexp(False)
         log(f"stage3 tpu warm: DDLEQ prove {t_p:.2f}s verify {t_v:.2f}s")
+
+    # ---- stage 4: cPIR query generation (query.go:118-221) ----
+    big_db = generate_random_db(1 << 14, 3)  # 128 x 128 grid
+    for label, use_tpu in (("native", False), ("tpu", True)):
+        if label == "native" and os.environ.get("SKIP_NATIVE"):
+            continue
+        paillier.enable_tpu_modexp(use_tpu)
+        try:
+            t0 = time.perf_counter()
+            q1 = enc.new_encrypted_query(big_db.metadata(), pk, 1, 5)
+            t_q = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            q2 = enc.new_doubly_encrypted_query(big_db.metadata(), pk, 1, 77)
+            t_d = time.perf_counter() - t0
+        finally:
+            paillier.enable_tpu_modexp(False)
+        log(f"stage4 {label:7s}: query gen {t_q:.2f}s "
+            f"({len(q1.ebits)} cts), recursive {t_d:.2f}s "
+            f"({len(q2.row.ebits)}+{len(q2.col.ebits)} cts)"
+            + (" [first run may compile]" if use_tpu else ""))
+        if use_tpu:
+            paillier.enable_tpu_modexp(True)
+            try:
+                t0 = time.perf_counter()
+                enc.new_encrypted_query(big_db.metadata(), pk, 1, 5)
+                t_q = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                enc.new_doubly_encrypted_query(big_db.metadata(), pk, 1, 77)
+                t_d = time.perf_counter() - t0
+            finally:
+                paillier.enable_tpu_modexp(False)
+            log(f"stage4 tpu warm: query gen {t_q:.2f}s recursive {t_d:.2f}s")
 
     print(
         '{"metric": "paillier_scan_modexp_per_s", "value": %.0f, '

@@ -191,6 +191,22 @@ class PublicKey:
     def encrypt_at_level(self, m: int, level: int) -> Ciphertext:
         return self.encrypt_with_r_at_level(m, self.random_r(), level)
 
+    def encrypt_batch(self, ms, level: int = ENC_LEVEL_ONE) -> list:
+        """Encrypt a list of plaintexts with fresh randomness, batching
+        the r^{N^level} blinding modexps through _powmod_batch (threaded
+        native engine, or the TPU Montgomery engine under
+        enable_tpu_modexp). The hot path of cPIR query GENERATION: a
+        query is height (+ width) one-hot encryptions (query.go:134-141,
+        181-199), each dominated by one 1-2k-bit-exponent modexp."""
+        mod = self._mod(level)
+        exp = self.n if level == ENC_LEVEL_ONE else self.n2
+        rs = [self.random_r() for _ in ms]
+        rpows = _powmod_batch(rs, [exp] * len(ms), mod)
+        return [
+            Ciphertext(self._g_pow(m, level) * rp % mod, level)
+            for m, rp in zip(ms, rpows)
+        ]
+
     def encrypt(self, m: int) -> Ciphertext:
         return self.encrypt_at_level(m, ENC_LEVEL_ONE)
 

@@ -93,10 +93,9 @@ def new_encrypted_query(
 def new_encrypted_query_with_dimensions(
     pk: PublicKey, width: int, height: int, group_size: int, index: int
 ) -> EncryptedQuery:
-    """query.go:129-150: EBits one-hot at `index` (index -1 => all zeros)."""
-    ebits = [
-        pk.encrypt_one() if i == index else pk.encrypt_zero() for i in range(height)
-    ]
+    """query.go:129-150: EBits one-hot at `index` (index -1 => all zeros).
+    The blinding modexps batch through encrypt_batch."""
+    ebits = pk.encrypt_batch([1 if i == index else 0 for i in range(height)])
     return EncryptedQuery(pk, ebits, group_size, width, height)
 
 
@@ -120,16 +119,12 @@ def new_doubly_encrypted_query_with_dimensions(
     if index == -1:
         row_index = col_index = -1
 
-    row = [
-        pk.encrypt_one() if i == row_index else pk.encrypt_zero()
-        for i in range(height)
-    ]
+    row = pk.encrypt_batch([1 if i == row_index else 0 for i in range(height)])
     grouped_width = width // group_size
-    col = [
-        pk.encrypt_one(ENC_LEVEL_TWO) if i == col_index
-        else pk.encrypt_zero(ENC_LEVEL_TWO)
-        for i in range(grouped_width)
-    ]
+    col = pk.encrypt_batch(
+        [1 if i == col_index else 0 for i in range(grouped_width)],
+        ENC_LEVEL_TWO,
+    )
     return DoublyEncryptedQuery(
         row=EncryptedQuery(pk, row, group_size, width, height),
         col=EncryptedQuery(pk, col, group_size, width, 1),

@@ -164,6 +164,24 @@ def test_cpir_tpu_engine_matches_python():
         assert db.slot(index).equal(got[j])
 
 
+def test_encrypt_batch_roundtrip_both_levels():
+    from pir_tpu.crypto import paillier
+    from pir_tpu.crypto.paillier import ENC_LEVEL_TWO, keygen
+
+    sk, pk = keygen(128)
+    ms = [0, 1, 7, pk.n - 1]
+    paillier.enable_tpu_modexp(True)
+    try:
+        cts1 = pk.encrypt_batch(ms)
+        cts2 = pk.encrypt_batch(ms, ENC_LEVEL_TWO)
+    finally:
+        paillier.enable_tpu_modexp(False)
+    assert [sk.decrypt(c) for c in cts1] == ms
+    # level-2 plaintexts are level-1 ciphertext values (query.go:195-197
+    # one-hot bits; db.go:332 ConstMult by ct.C): one decryption layer
+    assert [sk.decrypt_level2(c) for c in cts2] == ms
+
+
 def test_cpir_served_with_tpu_paillier_engine():
     """A PirService configured with paillier_engine='tpu' must serve
     identical cPIR answers over TCP."""
