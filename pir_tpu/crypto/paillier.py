@@ -323,11 +323,30 @@ class SecretKey(PublicKey):
             i = t1
         return i
 
+    def decrypt_batch(self, cts) -> list:
+        """Batched level-1 decryption: the c^lambda modexps go through
+        _powmod_batch (threaded native / TPU Montgomery engine). The
+        c == 0 quirk matches decrypt()."""
+        assert all(ct.level == ENC_LEVEL_ONE for ct in cts)
+        live = [i for i, ct in enumerate(cts) if ct.c != 0]
+        out = [0] * len(cts)
+        us = _powmod_batch([cts[i].c for i in live],
+                           [self.lam] * len(live), self.n2)
+        for i, u in zip(live, us):
+            out[i] = (u - 1) // self.n * self.mu1 % self.n
+        return out
+
     def decrypt_level2(self, ct: Ciphertext) -> int:
         assert ct.level == ENC_LEVEL_TWO
         u = _powmod(ct.c, self.lam, self.n3)
         i = self._dj_log(u, 2)
         return i * self.inv_lam_n2 % self.n2
+
+    def decrypt_level2_batch(self, cts) -> list:
+        assert all(ct.level == ENC_LEVEL_TWO for ct in cts)
+        us = _powmod_batch([ct.c for ct in cts],
+                           [self.lam] * len(cts), self.n3)
+        return [self._dj_log(u, 2) * self.inv_lam_n2 % self.n2 for u in us]
 
     def decrypt_nested_layer(self, ct: Ciphertext) -> Ciphertext:
         """Level-2 -> the inner level-1 ciphertext (aspir.go:166)."""
@@ -336,6 +355,13 @@ class SecretKey(PublicKey):
     def nested_decrypt(self, ct: Ciphertext) -> int:
         """query.go:325: peel both layers."""
         return self.decrypt(self.decrypt_nested_layer(ct))
+
+    def nested_decrypt_batch(self, cts) -> list:
+        """Batched two-layer decryption (query.go:325 over a vector)."""
+        inner = self.decrypt_level2_batch(cts)
+        return self.decrypt_batch(
+            [Ciphertext(c, ENC_LEVEL_ONE) for c in inner]
+        )
 
     # -- randomness extraction (aspir.go:164-168) --
 

@@ -331,24 +331,34 @@ def private_encrypted_query_over_encrypted_result(
 # --------------------------------------------------------------------------
 
 def recover_encrypted(res: EncryptedQueryResult, sk: SecretKey) -> list[Slot]:
-    """query.go:299-315."""
-    out = []
-    for eslot in res.slots:
-        arr = [sk.decrypt(ct) for ct in eslot.cts]
+    """query.go:299-315. All chunks decrypt in one modexp batch."""
+    counts = [len(eslot.cts) for eslot in res.slots]
+    flat = sk.decrypt_batch([ct for eslot in res.slots for ct in eslot.cts])
+    out, off = [], 0
+    for c in counts:
         out.append(
-            Slot.from_int_array(arr, res.slot_bytes, res.num_bytes_per_ciphertext)
+            Slot.from_int_array(
+                flat[off:off + c], res.slot_bytes, res.num_bytes_per_ciphertext
+            )
         )
+        off += c
     return out
 
 
 def recover_doubly_encrypted(
     res: DoublyEncryptedQueryResult, sk: SecretKey
 ) -> list[Slot]:
-    """query.go:317-334."""
-    out = []
-    for dslot in res.slots:
-        arr = [sk.nested_decrypt(ct) for ct in dslot.cts]
+    """query.go:317-334. Both decryption layers run as modexp batches."""
+    counts = [len(dslot.cts) for dslot in res.slots]
+    flat = sk.nested_decrypt_batch(
+        [ct for dslot in res.slots for ct in dslot.cts]
+    )
+    out, off = [], 0
+    for c in counts:
         out.append(
-            Slot.from_int_array(arr, res.slot_bytes, res.num_bytes_per_ciphertext)
+            Slot.from_int_array(
+                flat[off:off + c], res.slot_bytes, res.num_bytes_per_ciphertext
+            )
         )
+        off += c
     return out
