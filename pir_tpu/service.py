@@ -112,6 +112,8 @@ def _unpack_blobs(payload: bytes, off: int = 0) -> list[bytes]:
     """Inverse of _pack_blobs, starting at `off`."""
     (count,) = struct.unpack_from("<I", payload, off)
     off += 4
+    if count * 4 > len(payload) - off:  # every blob has a u32 prefix
+        raise ValueError("corrupt blob count")
     blobs = []
     for _ in range(count):
         (ln,) = struct.unpack_from("<I", payload, off)
@@ -130,6 +132,8 @@ def _decode_result_batch(op: int, payload: bytes):
         raise RuntimeError(payload.decode())
     (count,) = struct.unpack_from("<I", payload, 0)
     off = 4
+    if count * 4 > len(payload) - off:
+        raise ValueError("corrupt result count")
     results = []
     for _ in range(count):
         (ln,) = struct.unpack_from("<I", payload, off)
@@ -467,6 +471,8 @@ class PirService:
         # payload: u32 count ‖ (u32 len ‖ share)*
         (count,) = struct.unpack_from("<I", payload, 0)
         off = 4
+        if count * 4 > len(payload) - off:
+            raise ValueError("corrupt share count")
         shares = []
         for _ in range(count):
             (ln,) = struct.unpack_from("<I", payload, off)

@@ -42,6 +42,19 @@ def _check_header(buf: memoryview, msg_type: int) -> memoryview:
     return buf[6:]
 
 
+def _need(buf: memoryview, off: int, nbytes: int) -> None:
+    """Bound a count-driven loop by the bytes actually present.
+
+    Every deserializer loop whose body only slices (slicing past the end
+    silently yields b\"\") must pre-check count * item_size against the
+    remaining payload: a corrupted or malicious count field (u32) would
+    otherwise drive billions of empty iterations — a CPU/memory DoS the
+    wire fuzzer caught live (tests/test_wire_fuzz.py). Callers pass
+    max(1, item_size) so zero-size items cannot defeat the bound."""
+    if nbytes > len(buf) - off:
+        raise ValueError("truncated or corrupt message")
+
+
 # ---- Key2P ----
 
 def serialize_key2p(key: Key2P) -> bytes:
@@ -58,6 +71,7 @@ def deserialize_key2p(buf: memoryview) -> tuple[Key2P, int]:
     s_init = bytes(buf[:16])
     t_init, num_bits = struct.unpack_from("<BH", buf, 16)
     off = 19
+    _need(buf, off, num_bits * 18 + 8)
     cw = []
     for _ in range(num_bits):
         cw.append(bytes(buf[off:off + 18]))
@@ -83,6 +97,7 @@ def deserialize_fast_key(buf: memoryview):
     s_init = bytes(buf[:16])
     t_init, depth = struct.unpack_from("<BH", buf, 16)
     off = 19
+    _need(buf, off, depth * 18 + 24)
     cw = []
     for _ in range(depth):
         cw.append(bytes(buf[off:off + 18]))
@@ -123,12 +138,14 @@ def deserialize_key_mp(buf: memoryview):
 
     num_parties, p2, mu, n_gamma = struct.unpack_from("<BIII", buf, 0)
     off = 13
+    _need(buf, off, p2 * max(1, mu * 4))
     cw = []
     for _ in range(p2):
         cw.append(np.frombuffer(buf[off:off + mu * 4], dtype="<u4").copy())
         off += mu * 4
     (row_len,) = struct.unpack_from("<I", buf, off)
     off += 4
+    _need(buf, off, n_gamma * max(1, row_len))
     sigma = []
     for _ in range(n_gamma):
         sigma.append(bytes(buf[off:off + row_len]))
@@ -197,6 +214,7 @@ def deserialize_shared_result(data: bytes) -> SecretSharedQueryResult:
     buf = _check_header(memoryview(data), MSG_SHARED_RESULT)
     slot_bytes, n = struct.unpack_from("<II", buf, 0)
     off = 8
+    _need(buf, off, n * max(1, slot_bytes))
     shares = []
     for _ in range(n):
         shares.append(Slot(bytes(buf[off:off + slot_bytes])))
@@ -244,6 +262,7 @@ def deserialize_encrypted_query(data: bytes):
     n, off = _int_in(buf, 12)
     (count,) = struct.unpack_from("<I", buf, off)
     off += 4
+    _need(buf, off, count * 5)  # each ct: level byte + u32 length
     ebits = []
     for _ in range(count):
         (level,) = struct.unpack_from("<B", buf, off)
@@ -276,10 +295,12 @@ def deserialize_encrypted_result(data: bytes, pk):
     buf = _check_header(memoryview(data), MSG_ENCRYPTED_RESULT)
     slot_bytes, per_ct, n_slots = struct.unpack_from("<III", buf, 0)
     off = 12
+    _need(buf, off, n_slots * 4)
     slots = []
     for _ in range(n_slots):
         (n_cts,) = struct.unpack_from("<I", buf, off)
         off += 4
+        _need(buf, off, n_cts * 5)
         cts = []
         for _ in range(n_cts):
             (level,) = struct.unpack_from("<B", buf, off)
@@ -339,10 +360,12 @@ def deserialize_doubly_encrypted_result(data: bytes, pk):
     buf = _check_header(memoryview(data), MSG_DOUBLY_ENCRYPTED_RESULT)
     slot_bytes, per_ct, n_slots = struct.unpack_from("<III", buf, 0)
     off = 12
+    _need(buf, off, n_slots * 4)
     slots = []
     for _ in range(n_slots):
         (n_cts,) = struct.unpack_from("<I", buf, off)
         off += 4
+        _need(buf, off, n_cts * 5)
         cts = []
         for _ in range(n_cts):
             (level,) = struct.unpack_from("<B", buf, off)
@@ -383,6 +406,7 @@ def deserialize_sqrt_st_meta(data: bytes):
     num_keys, width, height, slot_bytes = struct.unpack_from("<IIII", buf, 0)
     (count,) = struct.unpack_from("<I", buf, 16)
     off = 20
+    _need(buf, off, count * 2)  # each entry: u16 length prefix
     first = []
     for _ in range(count):
         (n,) = struct.unpack_from("<H", buf, off)
@@ -511,12 +535,14 @@ def deserialize_proof_token(data: bytes):
     s, off = _int_in(buf, off)
     secparam, n_comm = struct.unpack_from("<II", buf, off)
     off += 8
+    _need(buf, off, n_comm * 4)
     commitments = []
     for _ in range(n_comm):
         c, off = _int_in(buf, off)
         commitments.append(c)
     (n_resp,) = struct.unpack_from("<I", buf, off)
     off += 4
+    _need(buf, off, n_resp * 8)
     responses = []
     for _ in range(n_resp):
         x, off = _int_in(buf, off)
