@@ -57,8 +57,13 @@ MASK = (1 << RADIX) - 1
 # --------------------------------------------------------------------------
 
 def limbs_for_modulus(m: int) -> int:
-    """L such that R = 2^(15L) >= 4*m (two bits of slack)."""
-    return (m.bit_length() + 2 + RADIX - 1) // RADIX
+    """L such that R = 2^(15L) >= 4*m (two bits of slack), rounded up to
+    a multiple of 16 so the compiled-shape space stays coarse: served
+    scans see client-chosen moduli, and every distinct L would otherwise
+    compile a fresh executable (minutes on a remote-compile rig). The
+    extra limbs only enlarge R — all Montgomery bounds get slack."""
+    exact = (m.bit_length() + 2 + RADIX - 1) // RADIX
+    return -(-exact // 16) * 16
 
 
 def ints_to_limbs(xs, L: int) -> np.ndarray:
@@ -82,8 +87,22 @@ def limbs_to_int(arr) -> int:
 
 
 def pack_exponents(xs, e_max: int) -> np.ndarray:
-    """(len(xs), ceil(e_max/32)) uint32 little-endian exponent words."""
+    """(len(xs), ceil(e_max/32)) uint32 little-endian exponent words.
+
+    Exponents wider than e_max fail loudly (IndexError / OverflowError /
+    ValueError) rather than truncating silently."""
     ew = max(1, (e_max + 31) // 32)
+    if e_max <= 64:
+        # vectorized fast path: cPIR level-1 exponents are slot chunks
+        # (a few bytes each), and big scans pack millions of them
+        arr = np.asarray(xs, dtype=np.uint64)  # raises on >= 2^64
+        if ew == 1 and len(xs) and int(arr.max()) > 0xFFFFFFFF:
+            raise ValueError("exponent exceeds e_max bits")
+        out = np.zeros((len(xs), ew), dtype=np.uint32)
+        out[:, 0] = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if ew > 1:
+            out[:, 1] = (arr >> np.uint64(32)).astype(np.uint32)
+        return out
     out = np.zeros((len(xs), ew), dtype=np.uint32)
     for i, x in enumerate(xs):
         j = 0
@@ -232,6 +251,10 @@ def _mont_exp_win4(base, e, e_max: int, n, n_inv, one_mont, out_shape):
 def _tree_product(x, n, n_inv):
     """Montgomery product over axis 0 (power-of-two length)."""
     r = x.shape[0]
+    if r & (r - 1):
+        # an odd split would BROADCAST the halves and silently drop
+        # rows' factors — a wrong ciphertext, not an error
+        raise ValueError(f"tree reduction needs a power-of-two rows, got {r}")
     while r > 1:
         r //= 2
         x = mont_mul(x[:r], x[r:], n, n_inv)
@@ -271,7 +294,7 @@ def _pow2ceil(x: int) -> int:
 
 def tpu_paillier_scan(
     ebits: list, vals: list, width_cts: int, mod: int,
-    e_max: int | None = None, row_chunk: int = 2048,
+    e_max: int | None = None, row_chunk: int = 2048, col_chunk: int = 128,
 ) -> list:
     """out[j] = prod_row ebits[row]^vals[row*width_cts+j] mod mod.
 
@@ -281,42 +304,63 @@ def tpu_paillier_scan(
 
     `e_max` should be a protocol-level bound on exponent bits (message
     space for level-1 scans, bits(N^2) for level-2) so compiled shapes
-    never depend on query data; it defaults to the batch's own maximum
-    rounded up to 32 bits.
+    never depend on query data; it defaults to the batch's own maximum.
+    All shape parameters are bucketed (power-of-two e_max and chunk
+    sizes, 16-limb L steps) so a client cannot force an unbounded stream
+    of fresh multi-minute compiles on a serving host.
     """
     height = len(ebits)
     if len(vals) != height * width_cts:
         raise ValueError("vals must be a (height, width_cts) matrix")
+    if row_chunk & (row_chunk - 1) or col_chunk & (col_chunk - 1):
+        raise ValueError("row_chunk and col_chunk must be powers of two")
+    if height == 0 or width_cts == 0:
+        return [1] * width_cts  # empty product = multiplicative identity
     ctx = mont_ctx(mod)
     if e_max is None:
         e_max = max((v.bit_length() for v in vals), default=1)
-    e_max = max(32, (e_max + 31) // 32 * 32)
+    e_max = max(32, _pow2ceil(e_max))
 
     rc = min(_pow2ceil(height), row_chunk)
+    wc = min(_pow2ceil(width_cts), col_chunk)
     n = jnp.asarray(ctx.n_limbs)
     n_inv = jnp.uint32(ctx.n_inv)
     one_mont = jnp.asarray(ctx.one_limbs)
     r2 = jnp.asarray(ctx.r2_limbs)
     fn = _scan_chunk_jit(e_max)
 
-    partials = []
+    bases_dev = {}
+    futures = []  # (col_lo, cols, device (wc, L) partial)
     for lo in range(0, height, rc):
         rows = min(rc, height - lo)
         chunk_bases = [ebits[lo + r] % mod for r in range(rows)]
-        chunk_vals = vals[lo * width_cts:(lo + rows) * width_cts]
         if rows < rc:  # pad: base 1 with exponent 0 is the identity
             chunk_bases += [1] * (rc - rows)
-            chunk_vals = list(chunk_vals) + [0] * ((rc - rows) * width_cts)
         bases = jnp.asarray(ints_to_limbs(chunk_bases, ctx.L))
-        exps = jnp.asarray(
-            pack_exponents(chunk_vals, e_max).reshape(rc, width_cts, -1)
-        )
-        out = np.asarray(fn(bases, exps, n, n_inv, one_mont, r2))
-        partials.append([limbs_to_int(out[w]) % mod for w in range(width_cts)])
+        emat = pack_exponents(
+            vals[lo * width_cts:(lo + rows) * width_cts], e_max
+        ).reshape(rows, width_cts, -1)
+        if rows < rc:
+            emat = np.concatenate(
+                [emat, np.zeros((rc - rows,) + emat.shape[1:], emat.dtype)]
+            )
+        for cl in range(0, width_cts, wc):
+            cols = min(wc, width_cts - cl)
+            esl = emat[:, cl:cl + cols]
+            if cols < wc:  # pad columns with exponent 0 (identity)
+                esl = np.concatenate(
+                    [esl, np.zeros((rc, wc - cols, esl.shape[2]), esl.dtype)],
+                    axis=1,
+                )
+            futures.append(
+                (cl, cols, fn(bases, jnp.asarray(esl), n, n_inv, one_mont, r2))
+            )
 
-    res = partials[0]
-    for part in partials[1:]:
-        res = [a * b % mod for a, b in zip(res, part)]
+    res = [1] * width_cts
+    for cl, cols, fut in futures:  # one device sync per dispatch, amortized
+        out = np.asarray(fut)
+        for w in range(cols):
+            res[cl + w] = res[cl + w] * limbs_to_int(out[w]) % mod
     return res
 
 
@@ -328,10 +372,14 @@ def tpu_powmod_batch(
     analogue of native.mg_powmod_batch)."""
     if len(bases) != len(exps):
         raise ValueError("bases and exps must have equal length")
+    if batch_chunk & (batch_chunk - 1):
+        raise ValueError("batch_chunk must be a power of two")
+    if not bases:
+        return []
     ctx = mont_ctx(mod)
     if e_max is None:
         e_max = max((e.bit_length() for e in exps), default=1)
-    e_max = max(32, (e_max + 31) // 32 * 32)
+    e_max = max(32, _pow2ceil(e_max))
 
     n = jnp.asarray(ctx.n_limbs)
     n_inv = jnp.uint32(ctx.n_inv)

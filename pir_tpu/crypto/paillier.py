@@ -86,10 +86,10 @@ def _powmod_batch(bases, exps, m: int, common_base: bool = False,
             from .mont_tpu import tpu_powmod_batch
 
             bs = [bases] * len(exps) if common_base else list(bases)
-            # protocol-level exponent bound (n / n^2 sized), rounded so
-            # the compiled shape set stays small across proof runs
+            # exponent bound rounded to a power of two so the compiled
+            # shape set stays logarithmic across proof runs / key sizes
             e_max = max((e.bit_length() for e in exps), default=1)
-            e_max = max(256, (e_max + 255) // 256 * 256)
+            e_max = max(256, 1 << (e_max - 1).bit_length())
             return tpu_powmod_batch(bs, exps, m, e_max=e_max)
         nat = _native_mod()
         if nat is not None:

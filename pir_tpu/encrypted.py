@@ -201,6 +201,19 @@ def private_encrypted_query(
     """
     pk = query.pk
     dim_width, dim_height = query.db_width, query.db_height
+    # served queries are attacker-controlled: the scan's work and
+    # allocations are O(width * height * num_cts), so the geometry must
+    # be bounded by the database it claims to address (the wire layer
+    # bounds only byte counts; same DoS class as wire._need)
+    if dim_height != len(query.ebits):
+        raise ValueError("query height does not match its ebits vector")
+    if dim_width < 1 or dim_height < 1:
+        raise ValueError("invalid query dimensions")
+    if dim_width * dim_height > db.db_size + dim_width:
+        # the reference's dimension sanity bound (db_test.go:211-220)
+        raise ValueError("query dimensions exceed the database")
+    if msg_space_bytes(pk) < 1:
+        raise ValueError("paillier modulus too small for any plaintext")
     num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
 
     # exponents are slot chunks of ceil(slot_bytes/num_cts) bytes each

@@ -108,12 +108,19 @@ def _pack_blobs(blobs: list[bytes]) -> bytes:
     )
 
 
+def _check_count(count: int, payload: bytes, off: int) -> None:
+    """Bound a container count by the remaining frame (every element
+    carries at least a u32 length prefix) — the service-level twin of
+    wire._need (same corrupted-count DoS class)."""
+    if count * 4 > len(payload) - off:
+        raise ValueError("corrupt count field")
+
+
 def _unpack_blobs(payload: bytes, off: int = 0) -> list[bytes]:
     """Inverse of _pack_blobs, starting at `off`."""
     (count,) = struct.unpack_from("<I", payload, off)
     off += 4
-    if count * 4 > len(payload) - off:  # every blob has a u32 prefix
-        raise ValueError("corrupt blob count")
+    _check_count(count, payload, off)
     blobs = []
     for _ in range(count):
         (ln,) = struct.unpack_from("<I", payload, off)
@@ -132,8 +139,7 @@ def _decode_result_batch(op: int, payload: bytes):
         raise RuntimeError(payload.decode())
     (count,) = struct.unpack_from("<I", payload, 0)
     off = 4
-    if count * 4 > len(payload) - off:
-        raise ValueError("corrupt result count")
+    _check_count(count, payload, off)
     results = []
     for _ in range(count):
         (ln,) = struct.unpack_from("<I", payload, off)
@@ -471,8 +477,7 @@ class PirService:
         # payload: u32 count ‖ (u32 len ‖ share)*
         (count,) = struct.unpack_from("<I", payload, 0)
         off = 4
-        if count * 4 > len(payload) - off:
-            raise ValueError("corrupt share count")
+        _check_count(count, payload, off)
         shares = []
         for _ in range(count):
             (ln,) = struct.unpack_from("<I", payload, off)

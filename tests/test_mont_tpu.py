@@ -138,6 +138,40 @@ def test_rejects_even_modulus():
         mont_ctx(100)
 
 
+def test_scan_empty_and_odd_chunks():
+    m = MODULI[1]
+    # empty product = identity (matches the CPython engine's null result)
+    assert tpu_paillier_scan([], [], 3, m) == [1, 1, 1]
+    # non-power-of-two chunk sizes would silently broadcast in the tree
+    # reduction (dropping factors) — must be rejected loudly
+    with pytest.raises(ValueError):
+        tpu_paillier_scan([3], [5], 1, m, row_chunk=48)
+    # odd heights/widths pad internally and stay exact
+    got = tpu_paillier_scan([3, 5, 7], [2, 4, 6], 1, m, row_chunk=2,
+                            col_chunk=2)
+    assert got == [pow(3, 2, m) * pow(5, 4, m) * pow(7, 6, m) % m]
+
+
+def test_served_scan_rejects_bad_geometry():
+    """Attacker-controlled width/height must be bounded by the database
+    (the O(width*height) allocation/spin DoS class)."""
+    from pir_tpu import encrypted as enc
+    from pir_tpu.crypto.paillier import Ciphertext, PublicKey
+    from pir_tpu.database import generate_random_db
+
+    db = generate_random_db(64, 3)
+    pk = PublicKey((1 << 512) + 9)
+    huge = enc.EncryptedQuery(pk, [], 1, 1 << 7, 1 << 24)
+    with pytest.raises(ValueError):
+        enc.private_encrypted_query(db, huge, engine="python")
+    mismatched = enc.EncryptedQuery(pk, [Ciphertext(1, 1)], 1, 8, 8)
+    with pytest.raises(ValueError):
+        enc.private_encrypted_query(db, mismatched, engine="python")
+    tiny_n = enc.EncryptedQuery(PublicKey(35), [Ciphertext(1, 1)], 1, 8, 1)
+    with pytest.raises(ValueError):
+        enc.private_encrypted_query(db, tiny_n, engine="python")
+
+
 # --------------------------------------------------------------------------
 # cPIR integration: the TPU engine must produce the SAME ciphertexts as
 # the CPython scan (the product is deterministic given the query)

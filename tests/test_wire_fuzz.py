@@ -29,6 +29,10 @@ from pir_tpu.query import new_index_query_shares, new_keyword_query_shares
 MUTATION_TIME_BUDGET_S = 2.0
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _blobs():
     db = generate_random_db(1 << 8, 6)
     md = db.metadata()
