@@ -28,6 +28,7 @@ host (latency-bound through the device relay).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import secrets
 from dataclasses import dataclass
@@ -74,6 +75,20 @@ def enable_tpu_modexp(enabled: bool = True) -> None:
     device relay and each new shape compiles."""
     global _tpu_modexp
     _tpu_modexp = enabled
+
+
+@contextlib.contextmanager
+def tpu_modexp(enabled: bool = True):
+    """Scoped enable_tpu_modexp: restores the previous setting on exit
+    (results are bit-identical either way, so a concurrent thread seeing
+    the temporary flag only changes WHERE its batch runs)."""
+    global _tpu_modexp
+    prev = _tpu_modexp
+    _tpu_modexp = enabled
+    try:
+        yield
+    finally:
+        _tpu_modexp = prev
 
 
 def _powmod_batch(bases, exps, m: int, common_base: bool = False,

@@ -627,11 +627,24 @@ class PirService:
                 raise ValueError("unknown or expired challenge id")
             q, chal = entry
             pk = q.query0.row.pk
-            if not auth_check(pk, q, chal, proof):
+            import contextlib
+
+            from .crypto import paillier as _paillier
+
+            ctx_tpu = (_paillier.tpu_modexp(True)
+                       if self.config.paillier_engine == "tpu"
+                       else contextlib.nullcontext())
+            with ctx_tpu:
+                # the DDLEQ verification batch follows the configured
+                # scan engine (bit-identical verdict either way)
+                ok = auth_check(pk, q, chal, proof)
+            if not ok:
                 return OP_ASPIR_PROOF, struct.pack("<B", 0)
             dq = q.query0 if proof.q_bit == 0 else q.query1
             with self.metrics.timed_query(scan):
-                res = private_doubly_encrypted_query(self.db, dq)
+                res = private_doubly_encrypted_query(
+                    self.db, dq, engine=self.config.paillier_engine
+                )
             return OP_ASPIR_PROOF, (
                 struct.pack("<B", 1) + wire.serialize_doubly_encrypted_result(res)
             )
