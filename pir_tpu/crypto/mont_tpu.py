@@ -96,7 +96,10 @@ def pack_exponents(xs, e_max: int) -> np.ndarray:
         # vectorized fast path: cPIR level-1 exponents are slot chunks
         # (a few bytes each), and big scans pack millions of them
         arr = np.asarray(xs, dtype=np.uint64)  # raises on >= 2^64
-        if ew == 1 and len(xs) and int(arr.max()) > 0xFFFFFFFF:
+        if len(xs) and e_max < 64 and int(arr.max()) >> e_max:
+            # mont_exp scans only e_max bits — wider exponents would be
+            # silently truncated here (the word-count IndexError of the
+            # slow path cannot catch widths inside the last word)
             raise ValueError("exponent exceeds e_max bits")
         out = np.zeros((len(xs), ew), dtype=np.uint32)
         out[:, 0] = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -329,7 +332,6 @@ def tpu_paillier_scan(
     r2 = jnp.asarray(ctx.r2_limbs)
     fn = _scan_chunk_jit(e_max)
 
-    bases_dev = {}
     futures = []  # (col_lo, cols, device (wc, L) partial)
     for lo in range(0, height, rc):
         rows = min(rc, height - lo)

@@ -31,6 +31,13 @@ from .crypto.paillier import (
 from .database import Database, DBMetadata
 from .slot import Slot
 
+# Serving bound on client-supplied Paillier moduli: scan work is cubic
+# in bits(N) on every engine, and on the TPU engine each 240-bit limb
+# bucket compiles a fresh executable — an uncapped modulus lets one
+# client stall a serving host indefinitely. 8192-bit N (N^3 = 24 kbit)
+# is far beyond any real deployment's key size.
+MAX_PAILLIER_BITS = 8192
+
 
 @dataclass
 class EncryptedQuery:
@@ -209,11 +216,17 @@ def private_encrypted_query(
         raise ValueError("query height does not match its ebits vector")
     if dim_width < 1 or dim_height < 1:
         raise ValueError("invalid query dimensions")
+    if dim_width > db.db_size or dim_height > db.db_size:
+        # each axis alone is bounded by the database: the product bound
+        # below is vacuous at height 1 (w*1 <= db_size + w always holds)
+        raise ValueError("query dimensions exceed the database")
     if dim_width * dim_height > db.db_size + dim_width:
         # the reference's dimension sanity bound (db_test.go:211-220)
         raise ValueError("query dimensions exceed the database")
     if msg_space_bytes(pk) < 1:
         raise ValueError("paillier modulus too small for any plaintext")
+    if pk.n.bit_length() > MAX_PAILLIER_BITS:
+        raise ValueError("paillier modulus exceeds the serving bound")
     num_cts = max(1, math.ceil(db.slot_bytes / msg_space_bytes(pk)))
 
     # exponents are slot chunks of ceil(slot_bytes/num_cts) bytes each

@@ -137,16 +137,7 @@ def _decode_result_batch(op: int, payload: bytes):
         raise PermissionError(payload.decode())
     if op == OP_ERROR:
         raise RuntimeError(payload.decode())
-    (count,) = struct.unpack_from("<I", payload, 0)
-    off = 4
-    _check_count(count, payload, off)
-    results = []
-    for _ in range(count):
-        (ln,) = struct.unpack_from("<I", payload, off)
-        off += 4
-        results.append(wire.deserialize_shared_result(payload[off:off + ln]))
-        off += ln
-    return results
+    return [wire.deserialize_shared_result(b) for b in _unpack_blobs(payload)]
 
 
 class PirService:
@@ -475,16 +466,7 @@ class PirService:
     @staticmethod
     def _parse_share_batch(payload: bytes) -> list[QueryShare]:
         # payload: u32 count ‖ (u32 len ‖ share)*
-        (count,) = struct.unpack_from("<I", payload, 0)
-        off = 4
-        _check_count(count, payload, off)
-        shares = []
-        for _ in range(count):
-            (ln,) = struct.unpack_from("<I", payload, off)
-            off += 4
-            shares.append(wire.deserialize_query_share(payload[off:off + ln]))
-            off += ln
-        return shares
+        return [wire.deserialize_query_share(b) for b in _unpack_blobs(payload)]
 
     @staticmethod
     def _pack_results(results: list[SecretSharedQueryResult]) -> bytes:
@@ -721,7 +703,10 @@ class PirService:
                 "<QBIH", payload, 0
             )
             blob = bytes(payload[15:])
-            if len(blob) != qn * slot_len:
+            # slot_len/qn are attacker-chosen: zero-size slots with a
+            # huge qn would pass a product-only check and drive a
+            # 2^32-iteration bitmap build (the corrupted-count DoS class)
+            if slot_len == 0 or qn == 0 or len(blob) != qn * slot_len:
                 raise ValueError("malformed batch audit blob")
             return OP_ASPIR_AUDIT_SUBMIT_BATCH, self._audit_verdict_vec(
                 nonce, expected, blob, qn, slot_len

@@ -152,6 +152,43 @@ def test_scan_empty_and_odd_chunks():
     assert got == [pow(3, 2, m) * pow(5, 4, m) * pow(7, 6, m) % m]
 
 
+def test_pack_exponents_rejects_overwide_in_last_word():
+    # e_max inside a word: silent truncation would yield wrong modexps
+    with pytest.raises(ValueError):
+        pack_exponents([1 << 50], 48)
+    assert pack_exponents([(1 << 48) - 1], 48).shape == (1, 2)
+
+
+def test_audit_batch_rejects_zero_slot_len():
+    """slot_len=0 with a huge qn must be refused instantly (it would
+    otherwise drive a 2^32-iteration verdict-bitmap build)."""
+    import socket
+    import struct
+    import time
+
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.service import (
+        OP_ASPIR_AUDIT_SUBMIT_BATCH,
+        OP_ERROR,
+        PirService,
+        _recv_frame,
+        _send_frame,
+    )
+
+    db = generate_random_db(64, 3)
+    svc = PirService(db, key_db=generate_random_db(64, 3)).start()
+    try:
+        s = socket.create_connection(svc.address)
+        payload = struct.pack("<QBIH", 1, 1, 0xFFFFFFFF, 0)
+        t0 = time.monotonic()
+        _send_frame(s, OP_ASPIR_AUDIT_SUBMIT_BATCH, payload)
+        op, _ = _recv_frame(s)
+        assert op == OP_ERROR
+        assert time.monotonic() - t0 < 2.0
+    finally:
+        svc.close()
+
+
 def test_served_scan_rejects_bad_geometry():
     """Attacker-controlled width/height must be bounded by the database
     (the O(width*height) allocation/spin DoS class)."""
@@ -164,6 +201,15 @@ def test_served_scan_rejects_bad_geometry():
     huge = enc.EncryptedQuery(pk, [], 1, 1 << 7, 1 << 24)
     with pytest.raises(ValueError):
         enc.private_encrypted_query(db, huge, engine="python")
+    # height=1 makes the product bound vacuous; width alone must be capped
+    wide = enc.EncryptedQuery(pk, [Ciphertext(1, 1)], 1, 0xFFFFFFFF, 1)
+    with pytest.raises(ValueError):
+        enc.private_encrypted_query(db, wide, engine="python")
+    # client-supplied modulus size is bounded (compile/cubic-work DoS)
+    giant_pk = PublicKey((1 << 9000) + 9)
+    giant = enc.EncryptedQuery(giant_pk, [Ciphertext(1, 1)], 1, 8, 1)
+    with pytest.raises(ValueError):
+        enc.private_encrypted_query(db, giant, engine="python")
     mismatched = enc.EncryptedQuery(pk, [Ciphertext(1, 1)], 1, 8, 8)
     with pytest.raises(ValueError):
         enc.private_encrypted_query(db, mismatched, engine="python")
