@@ -21,7 +21,8 @@ early-termination tree — 3 blocks per parent (_prf_triple, the MMO
 triple of dpf/client.go:99-116 semantics) + 1 leaf PRG block per
 128-row leaf — vs the ~1.27 G blocks/s bitsliced-AES VPU roof
 established by the compat analysis. From (3) it derives achieved int8
-MAC/s in the XOR-via-matmul scan vs the 394 TOPS MXU ceiling. Writes
+MAC/s in the XOR-via-matmul scan vs the ~197 T MAC/s MXU roof (394 int8
+TOPS counts multiply and add as two ops per MAC). Writes
 stderr detail + one JSON line.
 
 Defaults to the 1 GiB serving shape (2^20 x 1024 B, batch 4096) whose
@@ -41,7 +42,11 @@ import time
 import numpy as np
 
 AES_ROOF_BPS = 1.27e9  # bitsliced-AES VPU roof (docs/PERFORMANCE.md, compat)
-MXU_ROOF_TOPS = 394.0  # v5e int8 TOPS
+# v5e peak is 394 int8 TOPS, but TOPS counts multiply and add as TWO ops;
+# a matmul's M*K*N MACs are 2*M*K*N "ops", so the MAC roof is half that.
+# Dividing achieved MAC/s by 394e12 (the r3 bug this constant replaces)
+# understated MXU utilization by exactly 2x.
+MXU_ROOF_MACS = 197e12  # v5e int8 MAC/s roof (= 394 TOPS / 2 ops per MAC)
 
 
 def log(*a):
@@ -153,13 +158,14 @@ def main():
     table_bytes = height * slot_bytes
     eff_full = batch * table_bytes / t_full_a / 1e9
     # device floor if both stages ran at their unit roofs
-    t_roof = aes_total / AES_ROOF_BPS + macs / (MXU_ROOF_TOPS * 1e12)
+    t_roof = aes_total / AES_ROOF_BPS + macs / MXU_ROOF_MACS
     log(f"tree: depth {d} over 128-row leaves -> {aes_per_query/1e3:.1f} K "
         f"AES/query; achieved {bps/1e9:.2f} G AES blocks/s in expansion "
         f"({bps/AES_ROOF_BPS*100:.0f}% of the bitsliced-AES VPU roof)")
     log(f"scan: {scan_tops:.0f} T int8 MAC/s "
-        f"({scan_tops/MXU_ROOF_TOPS*100:.0f}% of the {MXU_ROOF_TOPS:.0f} TOPS "
-        f"MXU ceiling) for the 8x XOR-via-matmul blow-up")
+        f"({scan_tops*1e12/MXU_ROOF_MACS*100:.0f}% of the "
+        f"{MXU_ROOF_MACS/1e12:.0f} T MAC/s MXU roof, i.e. of 394 int8 TOPS "
+        f"at 2 ops/MAC) for the 8x XOR-via-matmul blow-up")
     log(f"full {batch}-batch: {t_full_a*1e3:.1f} ms adj -> {eff_full:.0f} GB/s "
         f"eff; expansion {t_exp*1e3:.1f} ms ({t_exp/t_full_a*100:.0f}%), scan "
         f"{t_scan_a*1e3:.1f} ms ({t_scan_a/t_full_a*100:.0f}%); "
@@ -172,7 +178,7 @@ def main():
         "aes_gblocks_per_s": round(bps / 1e9, 2),
         "aes_per_query_K": round(aes_per_query / 1e3, 1),
         "scan_tops": round(scan_tops, 1),
-        "scan_pct_of_mxu": round(scan_tops / MXU_ROOF_TOPS * 100, 1),
+        "scan_pct_of_mxu": round(scan_tops * 1e12 / MXU_ROOF_MACS * 100, 1),
         "aes_pct_of_vpu": round(bps / AES_ROOF_BPS * 100, 1),
         "full_ms": round(t_full_a * 1e3, 1),
         "expansion_ms": round(t_exp * 1e3, 1),

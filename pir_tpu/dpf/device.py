@@ -322,22 +322,33 @@ def _block_masks(block: bytes) -> np.ndarray:
     return (bits * _FULL)[:, :, None]  # (8, 16, 1)
 
 
+def _block_masks_wide(block: bytes) -> np.ndarray:
+    """16*n-byte wide final CW -> (8, n, 16, 1) full-word bit masks."""
+    b = np.frombuffer(block, dtype=np.uint8).reshape(-1, 16)
+    bits = ((b[None] >> np.arange(8, dtype=np.uint8)[:, None, None]) & 1)
+    return (bits.astype(np.uint32) * _FULL)[..., None]
+
+
 @functools.lru_cache(maxsize=64)
-def _fast_leaf_perm(depth: int, height: int, m_padded: int) -> np.ndarray:
-    """Natural row -> flat index into the unpacked (8,16,NW*32) bit tensor."""
+def _fast_leaf_perm(depth: int, height: int, m_padded: int,
+                    n_blk: int = 1) -> np.ndarray:
+    """Natural row -> flat index into the unpacked (8,[n_blk,]16,NW*32)
+    bit tensor (n_blk > 1 = wide leaves, see fast_leaf_bits_flat)."""
     nw32 = (m_padded << depth) if depth else m_padded
     r = np.arange(height, dtype=np.int64)
-    leaf = r >> 7
-    within = r & 127
-    byte_i = within >> 3
-    bit_k = within & 7
+    leaf = r // (128 * n_blk)
+    within = r % (128 * n_blk)
+    blk = within >> 7
+    wb = within & 127
+    byte_i = wb >> 3
+    bit_k = wb & 7
     s = leaf >> depth
     local = leaf & ((1 << depth) - 1)
     rev = np.zeros_like(local)
     for b in range(depth):
         rev |= ((local >> b) & 1) << (depth - 1 - b)
     pos = rev * m_padded + s
-    return (bit_k * 16 + byte_i) * nw32 + pos
+    return ((bit_k * n_blk + blk) * 16 + byte_i) * nw32 + pos
 
 
 def make_device_fast_key(
@@ -345,7 +356,8 @@ def make_device_fast_key(
     fkey: "dpf_host.FastKey2P",
     min_device_nodes: int = 32,
 ) -> DeviceFastKey2P:
-    n_leaves = -(-fkey.height // dpf_host.LEAF_BITS)
+    n_blk = fkey.leaf_bits // 128
+    n_leaves = -(-fkey.height // fkey.leaf_bits)
     plan = make_plan(fkey.depth, n_leaves, min_device_nodes)
 
     # host prefix over the (depth, n_leaves) tree
@@ -356,7 +368,7 @@ def make_device_fast_key(
     server.num_bits = saved
 
     if plan.device_levels == 0 and plan.host_levels == fkey.depth:
-        blocks = dpf_host._leaf_block(server, seeds)
+        blocks = dpf_host._leaf_blocks_wide(server, seeds, n_blk)
         fcw = np.frombuffer(fkey.final_cw_block, dtype=np.uint8)
         blocks = blocks ^ fcw[None, :] * t_bits[:, None]
         bits = np.unpackbits(blocks, axis=1, bitorder="little").reshape(-1)
@@ -379,10 +391,12 @@ def make_device_fast_key(
         cw_seed_masks=cw_seed_masks,
         cw_tl=tl,
         cw_tr=tr,
-        fcw_masks=_block_masks(fkey.final_cw_block),
+        fcw_masks=(_block_masks(fkey.final_cw_block) if n_blk == 1
+                   else _block_masks_wide(fkey.final_cw_block)),
         rk_masks=prf_key_masks(server),
         rk_leaf=rk_leaf,
-        perm=_fast_leaf_perm(plan.device_levels, fkey.height, plan.m_padded),
+        perm=_fast_leaf_perm(plan.device_levels, fkey.height, plan.m_padded,
+                             n_blk),
         host_bits=None,
     )
 
@@ -399,13 +413,42 @@ def _cw_masks_list(cws: list[bytes]):
     return seed_masks, tl, tr
 
 
+@functools.lru_cache(maxsize=16)
+def _leaf_ctr_masks(n_blk: int) -> np.ndarray:
+    """(8, n_blk, 16, 1) uint32 full-word masks of LE64(b) bit planes.
+
+    Wide-leaf CTR extension (host._leaf_blocks_wide): block b's AES input
+    is seed ^ LE64(b); in the bitsliced plane layout that XOR is a
+    constant mask at (bit j, block b, byte i) = bit j of byte i of
+    LE64(b)."""
+    ctr = np.zeros((n_blk, 16), np.uint8)
+    for b in range(n_blk):
+        ctr[b, :8] = np.frombuffer(b.to_bytes(8, "little"), np.uint8)
+    bits = ((ctr[None] >> np.arange(8, dtype=np.uint8)[:, None, None]) & 1)
+    return (bits.astype(np.uint32) * _FULL)[..., None]
+
+
 def fast_leaf_bits_flat(seeds, t_plane, fcw_masks, rk_leaf):
-    """Leaf stage without reordering: (8,16,NW) -> (128*NW*32,) uint8 bits
-    in *storage* order (index = (bit*16+byte)*NW*32 + leafpos)."""
-    enc = aes_encrypt_planes(seeds, rk_leaf)
-    out = (enc ^ seeds) ^ (t_plane[None, None, :] & fcw_masks)
+    """Leaf stage without reordering.
+
+    128-bit leaves (fcw_masks (8,16,1)): (8,16,NW) seeds ->
+    (128*NW*32,) uint8 bits in *storage* order
+    (index = (bit*16+byte)*NW*32 + leafpos).
+
+    Wide leaves (fcw_masks (8,n_blk,16,1)): each leaf seed CTR-extends
+    into n_blk MMO blocks (one bitsliced AES over the (8,n_blk,16,NW)
+    stack — full lanes); bits come out in storage order
+    (index = ((bit*n_blk + blk)*16 + byte)*NW*32 + leafpos)."""
+    if fcw_masks.ndim == 4:  # wide leaf
+        ctr = jnp.asarray(_leaf_ctr_masks(fcw_masks.shape[1]))
+        x = seeds[:, None, :, :] ^ ctr  # (8, n_blk, 16, NW)
+        enc = aes_encrypt_planes(x, rk_leaf[:, :, None])
+        out = (enc ^ x) ^ (t_plane[None, None, None, :] & fcw_masks)
+    else:
+        enc = aes_encrypt_planes(seeds, rk_leaf)
+        out = (enc ^ seeds) ^ (t_plane[None, None, :] & fcw_masks)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,16,NW,32)
+    bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,[n_blk,]16,NW,32)
     return bits.reshape(-1).astype(jnp.uint8)
 
 
@@ -534,20 +577,25 @@ def expand_planes_from_root(seeds, t_plane, cw_seed_masks, cw_tl, cw_tr,
 
 
 @functools.lru_cache(maxsize=64)
-def _fast_leaf_perm_root(depth: int, height: int) -> np.ndarray:
+def _fast_leaf_perm_root(depth: int, height: int, n_blk: int = 1) -> np.ndarray:
     """Natural row -> flat bit index for root-start expansion.
 
-    flat index = (bit*16 + byte) * 2^depth + bit_reverse(leaf, depth).
+    flat index = ((bit*n_blk + blk)*16 + byte) * 2^depth
+                 + bit_reverse(leaf, depth),
+    where each leaf covers 128*n_blk rows (blk = CTR block within the
+    leaf); n_blk = 1 is the classic 128-row-leaf layout.
     """
     r = np.arange(height, dtype=np.int64)
-    leaf = r >> 7
-    within = r & 127
-    byte_i = within >> 3
-    bit_k = within & 7
+    leaf = r // (128 * n_blk)
+    within = r % (128 * n_blk)
+    blk = within >> 7
+    wb = within & 127
+    byte_i = wb >> 3
+    bit_k = wb & 7
     rev = np.zeros_like(leaf)
     for b in range(depth):
         rev |= ((leaf >> b) & 1) << (depth - 1 - b)
-    return (bit_k * 16 + byte_i) * (1 << depth) + rev
+    return ((bit_k * n_blk + blk) * 16 + byte_i) * (1 << depth) + rev
 
 
 @dataclass(frozen=True)
@@ -569,13 +617,17 @@ class FastRootLayout:
     # masks pad to ~2 MiB/query under (8,128) tiling, which OOMed HBM at
     # batch 4096.
     shared_rk: bool = False
+    # leaf width in 128-bit PRG blocks (host.FastKey2P.leaf_bits // 128):
+    # wide leaves terminate the tree earlier, trading tree AES for
+    # nothing (leaf AES is fixed at height/128 blocks either way).
+    leaf_blocks: int = 1
 
     @property
     def sizes(self):
         d = self.depth
         # s_init, t_init, cw blocks, cw_tl bits, cw_tr bits, final CW,
         # tree round keys (3 x 11 x 16B), leaf round keys (11 x 16B)
-        return (4, 1, 4 * d, 1, 1, 4, 132, 44)
+        return (4, 1, 4 * d, 1, 1, 4 * self.leaf_blocks, 132, 44)
 
     @property
     def total(self):
@@ -583,7 +635,7 @@ class FastRootLayout:
 
     @property
     def flat_bits(self):
-        return 128 << self.depth
+        return (128 * self.leaf_blocks) << self.depth
 
 
 # (bit, byte) -> shift into the 4-word little-endian packing of a block
@@ -619,7 +671,13 @@ def unpack_fast_root_payload(payload, layout: FastRootLayout):
         jnp.zeros((0, 8, 16, 1), jnp.uint32))
     cw_tl = _unpack_bit_masks(seg[3][0], d)
     cw_tr = _unpack_bit_masks(seg[4][0], d)
-    fcw = _unpack_block_masks(seg[5])[..., None]  # (8,16,1)
+    if layout.leaf_blocks > 1:  # wide leaf: (8, n_blk, 16, 1)
+        fcw = jnp.transpose(
+            _unpack_block_masks(seg[5].reshape(layout.leaf_blocks, 4)),
+            (1, 0, 2),
+        )[..., None]
+    else:
+        fcw = _unpack_block_masks(seg[5])[..., None]  # (8,16,1)
     rk_tree = _unpack_block_masks(seg[6].reshape(3, 11, 4))  # (3,11,8,16)
     rk = jnp.transpose(rk_tree, (1, 2, 0, 3))[..., None]  # (11,8,3,16,1)
     rk_leaf = _unpack_block_masks(seg[7].reshape(11, 4))[..., None]
@@ -657,7 +715,13 @@ def unpack_fast_root_payload_lanes(payloads, layout: FastRootLayout):
     lvl = jnp.arange(max(d, 1), dtype=jnp.uint32)[:d, None]
     cw_tl = jnp.uint32(0) - ((seg[3][None, :, 0] >> lvl) & jnp.uint32(1))
     cw_tr = jnp.uint32(0) - ((seg[4][None, :, 0] >> lvl) & jnp.uint32(1))
-    fcw = _unpack_block_masks(seg[5])  # (Q,8,16)
+    if layout.leaf_blocks > 1:  # wide leaf: (Q, 8, n_blk, 16)
+        fcw = jnp.transpose(
+            _unpack_block_masks(seg[5].reshape(q_n, layout.leaf_blocks, 4)),
+            (0, 2, 1, 3),
+        )
+    else:
+        fcw = _unpack_block_masks(seg[5])  # (Q,8,16)
     return seeds, t_init, cw_s, cw_tl, cw_tr, fcw
 
 
@@ -733,6 +797,16 @@ def expand_fast_root_lanes_full(payloads, layout: FastRootLayout, rk_masks,
         seeds, t = _expand_root_level_lanes(
             seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
     nwf = max(1, (1 << layout.depth) // 32)
+    if layout.leaf_blocks > 1:  # wide leaf (see fast_leaf_bits_flat)
+        n_blk = layout.leaf_blocks
+        ctr = jnp.asarray(_leaf_ctr_masks(n_blk))  # (8,n_blk,16,1)
+        fcw_t = jnp.transpose(fcw, (1, 2, 3, 0))  # (8,n_blk,16,Q)
+        if nwf > 1:
+            fcw_t = jnp.tile(fcw_t, (1, 1, 1, nwf))
+        x = seeds[:, None, :, :] ^ ctr  # (8,n_blk,16,NWf*Q)
+        enc = aes_encrypt_planes(x, rk_leaf[:, :, None])
+        out = (enc ^ x) ^ (t[None, None, None, :] & fcw_t)
+        return out.reshape(8, n_blk, 16, nwf, q_n).transpose(4, 0, 1, 2, 3)
     fcw_t = jnp.transpose(fcw, (1, 2, 0))  # (8,16,Q)
     if nwf > 1:
         fcw_t = jnp.tile(fcw_t, (1, 1, nwf))
@@ -777,7 +851,7 @@ def make_fast_payload_batch(
         shared_rk = all(
             tuple(bytes(k.bytes) for k in s.prf_keys) == prf0 for s in shares
         )
-    layout = FastRootLayout(depth, height, shared_rk)
+    layout = FastRootLayout(depth, height, shared_rk, k0.leaf_bits // 128)
     _full = np.uint32(0xFFFFFFFF)
 
     payload = np.zeros((q_n, layout.total), dtype=np.uint32)
@@ -1011,11 +1085,13 @@ class FastPayloadLayout:
     nw0: int
     d_levels: int
     height: int
+    leaf_blocks: int = 1  # wide leaves: fcw masks are (8, n_blk, 16, 1)
 
     @property
     def sizes(self):
         nw0, d = self.nw0, self.d_levels
-        return (128 * nw0, nw0, d * 128, d, d, 128, 11 * 8 * 3 * 16, 11 * 8 * 16)
+        return (128 * nw0, nw0, d * 128, d, d, 128 * self.leaf_blocks,
+                11 * 8 * 3 * 16, 11 * 8 * 16)
 
     @property
     def total(self):
@@ -1023,7 +1099,9 @@ class FastPayloadLayout:
 
 
 def pack_fast_payload(dk: DeviceFastKey2P) -> tuple[np.ndarray, FastPayloadLayout]:
-    layout = FastPayloadLayout(dk.plan.m_padded // 32, dk.plan.device_levels, dk.height)
+    n_blk = dk.fcw_masks.shape[1] if dk.fcw_masks.ndim == 4 else 1
+    layout = FastPayloadLayout(dk.plan.m_padded // 32, dk.plan.device_levels,
+                               dk.height, n_blk)
     parts = [
         np.asarray(dk.seeds0, np.uint32).ravel(),
         np.asarray(dk.t0, np.uint32).ravel(),
@@ -1043,13 +1121,15 @@ def unpack_fast_payload(payload, layout: FastPayloadLayout):
     nw0, d = layout.nw0, layout.d_levels
     offs = np.cumsum((0,) + layout.sizes)
     seg = [payload[offs[i]:offs[i + 1]] for i in range(len(layout.sizes))]
+    fcw = (seg[5].reshape(8, 16, 1) if layout.leaf_blocks == 1
+           else seg[5].reshape(8, layout.leaf_blocks, 16, 1))
     return (
         seg[0].reshape(8, 16, nw0),
         seg[1],
         seg[2].reshape(d, 8, 16, 1),
         seg[3],
         seg[4],
-        seg[5].reshape(8, 16, 1),
+        fcw,
         seg[6].reshape(11, 8, 3, 16, 1),
         seg[7].reshape(11, 8, 16, 1),
     )

@@ -446,8 +446,23 @@ def eval_points(dpf: Dpf, server_num: int, key: Key2P, xs: np.ndarray) -> np.nda
 # (bits0 ^ bits1 = one-hot at the target row) are preserved, so answers
 # recover identically. This is the framework's native mode; the
 # reference-exact mode remains for bit-for-bit parity.
+#
+# WIDE LEAVES (leaf_bits > 128): the tree can terminate even earlier —
+# each leaf seed CTR-extends (the prf_blocks counter convention) into
+# leaf_bits/128 MMO blocks = leaf_bits selection bits, with a leaf_bits
+# final correction word. The per-query leaf AES total is fixed at
+# height/128 blocks regardless of depth, while tree AES (3 blocks per
+# parent) shrinks geometrically with every level cut, so wide leaves
+# reduce total AES ~3x at leaf_bits=1024 on a 2^20-row table (32.8K ->
+# 11.3K blocks/query). leaf_bits is encoded in the key itself
+# (len(final_cw_block) * 8), so servers need no out-of-band signal.
 
 LEAF_BITS = 128
+
+# client-side default for fast-mode keygen (power of two >= 128); wide
+# leaves cut server expansion AES ~3x (see above). Clamped per height by
+# fast_leaf_bits_for_height so shallow trees keep >= 5 device levels.
+DEFAULT_FAST_LEAF_BITS = 128
 
 
 @dataclass
@@ -457,14 +472,33 @@ class FastKey2P:
     s_init: bytes
     t_init: int
     cw: list[bytes]  # depth entries of 18 bytes
-    final_cw_block: bytes  # 16 bytes: 128-bit output correction
+    final_cw_block: bytes  # 16*n bytes: leaf_bits-wide output correction
     depth: int
     height: int
 
+    @property
+    def leaf_bits(self) -> int:
+        return len(self.final_cw_block) * 8
 
-def fast_depth_for_height(height: int) -> int:
-    leaves = -(-height // LEAF_BITS)
+
+def fast_depth_for_height(height: int, leaf_bits: int = LEAF_BITS) -> int:
+    leaves = -(-height // leaf_bits)
     return max(0, (leaves - 1).bit_length())
+
+
+def _check_leaf_bits(leaf_bits: int) -> int:
+    if leaf_bits < 128 or leaf_bits & (leaf_bits - 1):
+        raise ValueError(f"leaf_bits must be a power of two >= 128, got {leaf_bits}")
+    return leaf_bits // 128
+
+
+def fast_leaf_bits_for_height(height: int, leaf_bits: int) -> int:
+    """Clamp a requested leaf width so the tree keeps >= 5 levels (the
+    device root-start serving path needs them); never below 128."""
+    _check_leaf_bits(leaf_bits)
+    while leaf_bits > LEAF_BITS and fast_depth_for_height(height, leaf_bits) < 5:
+        leaf_bits >>= 1
+    return leaf_bits
 
 
 def _leaf_block(dpf: Dpf, seeds: np.ndarray) -> np.ndarray:
@@ -473,17 +507,29 @@ def _leaf_block(dpf: Dpf, seeds: np.ndarray) -> np.ndarray:
     return out[:, 0, :]
 
 
-def generate_two_server_fast(dpf: Dpf, a: int, height: int) -> list[FastKey2P]:
+def _leaf_blocks_wide(dpf: Dpf, seeds: np.ndarray, n_blk: int) -> np.ndarray:
+    """(n,16) leaf seeds -> (n, 16*n_blk) leaf output bytes.
+
+    Block b = AES_{k3}(seed ^ LE64(b)) ^ (seed ^ LE64(b)) — prf_blocks'
+    CTR extension with a single cipher, so n_blk=1 equals _leaf_block."""
+    out = prf_blocks(seeds, [dpf.ciphers[3]], n_blk)
+    return out.reshape(seeds.shape[0], 16 * n_blk)
+
+
+def generate_two_server_fast(
+    dpf: Dpf, a: int, height: int, leaf_bits: int = LEAF_BITS
+) -> list[FastKey2P]:
     """Keygen for f(a)=1 over [0, height) with early termination."""
     if not 0 <= a < height:
         raise ValueError("requesting key outside of domain")
-    depth = fast_depth_for_height(height)
+    n_blk = _check_leaf_bits(leaf_bits)
+    depth = fast_depth_for_height(height, leaf_bits)
     saved_bits = dpf.num_bits
     dpf.num_bits = depth
 
     # reuse the tree walk of generate_two_server, but stop at `depth` and
-    # replace the varint FinalCW with a 128-bit block correction
-    leaf_index = a >> 7
+    # replace the varint FinalCW with a leaf_bits-wide block correction
+    leaf_index = a // leaf_bits
     temp = os.urandom(BLOCK_SIZE + 1)
     s0 = bytearray(temp[:BLOCK_SIZE])
     t0 = temp[BLOCK_SIZE] % 2
@@ -517,10 +563,12 @@ def generate_two_server_fast(dpf: Dpf, a: int, height: int) -> list[FastKey2P]:
 
     dpf.num_bits = saved_bits
 
-    blk0 = _leaf_block(dpf, np.frombuffer(bytes(s_curr0), np.uint8)[None, :])[0]
-    blk1 = _leaf_block(dpf, np.frombuffer(bytes(s_curr1), np.uint8)[None, :])[0]
-    within = a & (LEAF_BITS - 1)
-    e_a = np.zeros(16, dtype=np.uint8)
+    blk0 = _leaf_blocks_wide(
+        dpf, np.frombuffer(bytes(s_curr0), np.uint8)[None, :], n_blk)[0]
+    blk1 = _leaf_blocks_wide(
+        dpf, np.frombuffer(bytes(s_curr1), np.uint8)[None, :], n_blk)[0]
+    within = a % leaf_bits
+    e_a = np.zeros(16 * n_blk, dtype=np.uint8)
     e_a[within >> 3] = 1 << (within & 7)
     fcw = (blk0 ^ blk1 ^ e_a).tobytes()
     # exactly one of t_curr0/t_curr1 is 1 at the target leaf, so
@@ -532,7 +580,7 @@ def generate_two_server_fast(dpf: Dpf, a: int, height: int) -> list[FastKey2P]:
 
 
 def generate_two_server_fast_batch(
-    dpf: Dpf, indices: "list[int]", height: int
+    dpf: Dpf, indices: "list[int]", height: int, leaf_bits: int = LEAF_BITS
 ) -> "list[list[FastKey2P]]":
     """Vectorised fast-mode keygen: one tree walk for Q queries at once.
 
@@ -547,12 +595,13 @@ def generate_two_server_fast_batch(
 
     Returns [ [key_server0, key_server1] for each index ].
     """
-    depth = fast_depth_for_height(height)
+    n_blk = _check_leaf_bits(leaf_bits)
+    depth = fast_depth_for_height(height, leaf_bits)
     q = len(indices)
     idx = np.asarray(indices, dtype=np.uint64)
     if q and (idx >= height).any():
         raise ValueError("requesting key outside of domain")
-    leaf = (idx >> 7).astype(np.uint64)
+    leaf = (idx // np.uint64(leaf_bits)).astype(np.uint64)
 
     rnd = np.frombuffer(os.urandom(q * 33), np.uint8).reshape(q, 33)
     s0 = rnd[:, :16].copy()
@@ -591,10 +640,10 @@ def generate_two_server_fast_batch(
         t_curr0 = t_next0 ^ (t_cw_keep * t_curr0)
         t_curr1 = t_next1 ^ (t_cw_keep * t_curr1)
 
-    blk0 = _leaf_block(dpf, s_curr0)
-    blk1 = _leaf_block(dpf, s_curr1)
-    within = (idx & np.uint64(LEAF_BITS - 1)).astype(np.int64)
-    e_a = np.zeros((q, 16), np.uint8)
+    blk0 = _leaf_blocks_wide(dpf, s_curr0, n_blk)
+    blk1 = _leaf_blocks_wide(dpf, s_curr1, n_blk)
+    within = (idx % np.uint64(leaf_bits)).astype(np.int64)
+    e_a = np.zeros((q, 16 * n_blk), np.uint8)
     e_a[np.arange(q), within >> 3] = (1 << (within & 7)).astype(np.uint8)
     fcw = blk0 ^ blk1 ^ e_a
 
@@ -617,7 +666,7 @@ def eval_full_domain_fast_bits(dpf: Dpf, key: FastKey2P) -> np.ndarray:
     dpf.num_bits = key.depth
     seeds = np.frombuffer(key.s_init, dtype=np.uint8)[None, :].copy()
     t_bits = np.array([key.t_init], dtype=np.uint8)
-    n_leaves = -(-key.height // LEAF_BITS)
+    n_leaves = -(-key.height // key.leaf_bits)
     for i in range(key.depth):
         out = prf_blocks(seeds, dpf.ciphers, 3)
         flat = out.reshape(out.shape[0], 48)
@@ -633,7 +682,8 @@ def eval_full_domain_fast_bits(dpf: Dpf, key: FastKey2P) -> np.ndarray:
     del n_leaves  # host golden keeps the full 2^depth frontier
     dpf.num_bits = saved
 
-    blocks = _leaf_block(dpf, seeds)  # (2^depth, 16)
+    n_blk = key.leaf_bits // 128
+    blocks = _leaf_blocks_wide(dpf, seeds, n_blk)  # (2^depth, 16*n_blk)
     fcw = np.frombuffer(key.final_cw_block, dtype=np.uint8)
     blocks = blocks ^ fcw[None, :] * t_bits[:, None]
     bits = np.unpackbits(blocks, axis=1, bitorder="little").reshape(-1)

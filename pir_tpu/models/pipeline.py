@@ -651,6 +651,10 @@ def fused_fast_overlap_step_fn(layout, tail_levels: int = 2,
 
     if not getattr(layout, "shared_rk", False):
         raise ValueError("overlap serving needs the batch-shared key layout")
+    if getattr(layout, "leaf_blocks", 1) > 1:
+        # the fused kernel's leaf stage is 128-bit only so far; the TCP
+        # service shell falls back to lag emulation on this refusal
+        raise ValueError("overlap serving does not support wide-leaf keys")
     depth = layout.depth
     tail = max(0, min(tail_levels, depth - 5))
     head_levels = depth - tail

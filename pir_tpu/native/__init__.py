@@ -57,7 +57,8 @@ def load():
     ]
     lib.pir_expand_fast_bits.argtypes = [
         ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint8,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint32,
+        ctypes.c_void_p,
     ]
     lib.pir_scan_xor.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_void_p,
@@ -239,7 +240,8 @@ def expand_fast_bits(query_share) -> np.ndarray:
     out = np.empty(key.height, dtype=np.uint8)
     lib.pir_expand_fast_bits(
         prf, key.depth, key.s_init, key.t_init, cw, key.final_cw_block,
-        key.height, out.ctypes.data_as(ctypes.c_void_p),
+        key.height, len(key.final_cw_block) // 16,
+        out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
 

@@ -145,14 +145,18 @@ void pir_expand_bits(const uint8_t* prf_keys, uint32_t num_bits,
 void pir_expand_fast_bits(const uint8_t* prf_keys, uint32_t depth,
                           const uint8_t* s_init, uint8_t t_init,
                           const uint8_t* cw, const uint8_t* final_cw_block,
-                          uint64_t height, uint8_t* out_bits) {
+                          uint64_t height, uint32_t leaf_blocks,
+                          uint8_t* out_bits) {
   AesKey k0, k1, k2, k3;
   aes128_expand(prf_keys + 0, &k0);
   aes128_expand(prf_keys + 16, &k1);
   aes128_expand(prf_keys + 32, &k2);
   aes128_expand(prf_keys + 48, &k3);
 
-  uint64_t n_leaves = (height + 127) >> 7;
+  // wide leaves: each leaf covers 128*leaf_blocks rows via the CTR
+  // extension of the leaf PRG (dpf/host.py _leaf_blocks_wide)
+  uint64_t leaf_rows = 128ull * leaf_blocks;
+  uint64_t n_leaves = (height + leaf_rows - 1) / leaf_rows;
   std::vector<uint8_t> seeds(16), next_seeds;
   std::vector<uint8_t> tbits(1, t_init), next_t;
   memcpy(seeds.data(), s_init, 16);
@@ -194,17 +198,24 @@ void pir_expand_fast_bits(const uint8_t* prf_keys, uint32_t depth,
     tbits.resize(live);
   }
 
-  __m128i fcw = _mm_loadu_si128((const __m128i*)final_cw_block);
   for (uint64_t L = 0; L < n_leaves && L < live; L++) {
     __m128i s = _mm_loadu_si128((const __m128i*)(seeds.data() + 16 * L));
-    __m128i blk = _mm_xor_si128(aes128_enc(k3, s), s);
-    if (tbits[L]) blk = _mm_xor_si128(blk, fcw);
-    uint8_t bytes[16];
-    _mm_storeu_si128((__m128i*)bytes, blk);
-    uint64_t base = L << 7;
-    uint64_t count = height - base < 128 ? height - base : 128;
-    for (uint64_t i = 0; i < count; i++)
-      out_bits[base + i] = (bytes[i >> 3] >> (i & 7)) & 1;
+    for (uint32_t b = 0; b < leaf_blocks; b++) {
+      // block b input = seed ^ LE64(b) (prf_blocks' CTR convention;
+      // b = 0 degenerates to the classic single-block leaf)
+      __m128i x = b ? _mm_xor_si128(s, _mm_set_epi64x(0, (long long)b)) : s;
+      __m128i blk = _mm_xor_si128(aes128_enc(k3, x), x);
+      __m128i fcw =
+          _mm_loadu_si128((const __m128i*)(final_cw_block + 16 * b));
+      if (tbits[L]) blk = _mm_xor_si128(blk, fcw);
+      uint8_t bytes[16];
+      _mm_storeu_si128((__m128i*)bytes, blk);
+      uint64_t base = L * leaf_rows + ((uint64_t)b << 7);
+      if (base >= height) break;
+      uint64_t count = height - base < 128 ? height - base : 128;
+      for (uint64_t i = 0; i < count; i++)
+        out_bits[base + i] = (bytes[i >> 3] >> (i & 7)) & 1;
+    }
   }
 }
 

@@ -5,7 +5,8 @@ XOR of selected rows = per-bit parity of a sum: decompose the table into
 accumulation (exact: H < 2^31), take each accumulator mod 2, recombine
 bytes. The table is streamed once per *batch* (vs once per query for the
 VPU masked-XOR path), so large query batches become MXU-bound:
-8·Q·H·B int8 MACs against ~394 TOPS on v5e.
+8·Q·H·B int8 MACs against the v5e MXU's ~197 T MAC/s roof (394 int8
+TOPS, counting a MAC as two ops).
 
 Used by TpuPirServer for batches above a threshold; bit-for-bit equal to
 the masked-XOR scan (tests/test_matmul_scan.py).

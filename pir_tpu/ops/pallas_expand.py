@@ -82,9 +82,13 @@ def _aes_encrypt_roll(x, rk_masks):
     return state ^ rk_masks[10]
 
 
-def _tail_kernel(levels: int, shared_rk: bool = False):
+def _tail_kernel(levels: int, shared_rk: bool = False, leaf_blocks: int = 1):
     def kernel(seeds_ref, t_ref, cw_s_ref, cw_tl_ref, cw_tr_ref, rk_ref,
-               fcw_ref, rkl_ref, out_ref):
+               fcw_ref, rkl_ref, *rest):
+        if leaf_blocks > 1:
+            ctr_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
         seeds = seeds_ref[0]  # (8, 16, NW0)
         t = t_ref[0]  # (1, NW0)
         # shared_rk: one (11,8,3,16,1) mask set for the whole batch
@@ -109,8 +113,17 @@ def _tail_kernel(levels: int, shared_rk: bool = False):
             seeds = jnp.concatenate([s_l, s_r], axis=-1)
             t = jnp.concatenate([t_l, t_r], axis=-1)
         rkl = rkl_ref[...] if shared_rk else rkl_ref[0]
-        prg = _aes_encrypt_roll(seeds, rkl) ^ seeds  # leaf MMO
-        out_ref[0] = prg ^ (t[None] & fcw_ref[0])
+        if leaf_blocks > 1:
+            # wide leaf: CTR-extend every leaf seed into n_blk MMO blocks
+            # in ONE bitsliced AES over the (8, n_blk, 16, NW) stack —
+            # the block axis sits where the PRF-slot axis does in the
+            # tree walk, so lanes stay full (dpf/host.py wide-leaf note)
+            x = seeds[:, None] ^ ctr_ref[...]  # (8, n_blk, 16, NW)
+            prg = _aes_encrypt_roll(x, rkl[:, :, None]) ^ x
+            out_ref[0] = prg ^ (t[None, None] & fcw_ref[0])
+        else:
+            prg = _aes_encrypt_roll(seeds, rkl) ^ seeds  # leaf MMO
+            out_ref[0] = prg ^ (t[None] & fcw_ref[0])
 
     return kernel
 
@@ -281,12 +294,15 @@ def fast_tail_expand_pallas(
 
     seeds (Q,8,16,NW0), t (Q,1,NW0), cw_s (Q,levels,8,16,1),
     cw_tl/cw_tr (Q,levels) mask words, rk (Q,11,8,3,16,1) — or
-    (11,8,3,16,1) shared across the batch — fcw (Q,8,16,1),
+    (11,8,3,16,1) shared across the batch — fcw (Q,8,16,1), or
+    (Q,8,n_blk,16,1) for wide leaves (leaf_bits = 128*n_blk),
     rk_leaf (Q,11,8,16,1) or (11,8,16,1)
     -> (Q,8,16,NW0 << levels) packed leaf-output words (storage order,
-    same convention as dpf.device.fast_leaf_bits_flat pre-unpack).
+    same convention as dpf.device.fast_leaf_bits_flat pre-unpack), or
+    (Q,8,n_blk,16,NW0 << levels) for wide leaves.
     """
     shared_rk = rk.ndim == 5
+    n_blk = fcw.shape[2] if fcw.ndim == 5 else 1
     q, _, _, nw0 = seeds.shape
     nwf = nw0 << levels
     lv = max(levels, 1)  # zero-size blocks are not allowed
@@ -313,27 +329,50 @@ def fast_tail_expand_pallas(
         pl.BlockSpec((1, 11, 8, 16, 1), lambda i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM)
     )
+    fcw_spec = (
+        pl.BlockSpec((1, 8, n_blk, 16, 1), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if n_blk > 1 else
+        pl.BlockSpec((1, 8, 16, 1), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    in_specs = [
+        pl.BlockSpec((1, 8, 16, nw0), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nw0), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 8, 16, 1), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 1, 1), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 1, 1), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        rk_spec,
+        fcw_spec,
+        rkl_spec,
+    ]
+    args = [seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf]
+    if n_blk > 1:
+        from ..dpf.device import _leaf_ctr_masks
+
+        in_specs.append(
+            pl.BlockSpec((8, n_blk, 16, 1), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(jnp.asarray(_leaf_ctr_masks(n_blk)))
+        out_specs = pl.BlockSpec((1, 8, n_blk, 16, nwf),
+                                 lambda i: (i, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((q, 8, n_blk, 16, nwf), jnp.uint32)
+    else:
+        out_specs = pl.BlockSpec((1, 8, 16, nwf), lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((q, 8, 16, nwf), jnp.uint32)
     return pl.pallas_call(
-        _tail_kernel(levels, shared_rk),
+        _tail_kernel(levels, shared_rk, n_blk),
         grid=(q,),
-        in_specs=[
-            pl.BlockSpec((1, 8, 16, nw0), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nw0), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lv, 8, 16, 1), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lv, 1, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lv, 1, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            rk_spec,
-            pl.BlockSpec((1, 8, 16, 1), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            rkl_spec,
-        ],
-        out_specs=pl.BlockSpec((1, 8, 16, nwf), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((q, 8, 16, nwf), jnp.uint32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf)
+    )(*args)

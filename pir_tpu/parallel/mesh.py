@@ -192,7 +192,9 @@ def make_sharded_fast_key(
     from ..dpf.device import ExpandPlan, _block_masks, _cw_masks_list
 
     depth = fkey.depth
-    n_leaves = -(-fkey.height // dpf_host.LEAF_BITS)
+    leaf_bits = fkey.leaf_bits
+    n_blk = leaf_bits // 128
+    n_leaves = -(-fkey.height // leaf_bits)
     min_nodes = 32 * n_shards
     lvl, m = 0, 1
     while lvl < depth and m < min_nodes:
@@ -201,7 +203,7 @@ def make_sharded_fast_key(
     if m < min_nodes:
         raise ValueError(
             f"height {fkey.height} too small to shard {n_shards} ways in fast "
-            f"mode (need >= {min_nodes * dpf_host.LEAF_BITS} rows)"
+            f"mode (need >= {min_nodes * leaf_bits} rows)"
         )
     per_shard = -(-(-(-m // n_shards)) // 32) * 32
     m_padded = per_shard * n_shards
@@ -227,18 +229,23 @@ def make_sharded_fast_key(
     )
     cw_seed_masks, tl, tr = _cw_masks_list(fkey.cw[lvl:])
     rk_leaf = key_masks(key_schedule(server.ciphers[3].key)[None])
+    from ..dpf.device import _block_masks_wide
+
     return ShardedFastKeyArrays(
         seeds=seed_planes,
         t=t_packed,
         cw_seed_masks=cw_seed_masks,
         cw_tl=tl,
         cw_tr=tr,
-        fcw_masks=np.asarray(_block_masks(fkey.final_cw_block)),
+        fcw_masks=np.asarray(
+            _block_masks(fkey.final_cw_block) if n_blk == 1
+            else _block_masks_wide(fkey.final_cw_block)
+        ),
         rk_masks=np.asarray(prf_key_masks(server)),
         rk_leaf=np.asarray(rk_leaf),
         d_levels=depth - lvl,
         per_shard_nodes=per_shard,
-        rows_per_shard=(per_shard << (depth - lvl)) * dpf_host.LEAF_BITS,
+        rows_per_shard=(per_shard << (depth - lvl)) * leaf_bits,
     )
 
 
@@ -537,7 +544,8 @@ def build_sharded_compat_table_u8(data: np.ndarray, height: int,
 def build_sharded_root_table_u8(data: np.ndarray, height: int,
                                 group_size: int, slot_bytes: int,
                                 depth: int, shard_levels: int,
-                                pad_to: int = 8192) -> np.ndarray:
+                                pad_to: int = 8192,
+                                n_blk: int = 1) -> np.ndarray:
     """Shard-local storage-ordered u8 table for the root-start mesh step.
 
     Shard s owns natural rows [s * rows_per_shard, (s+1) * rows_per_shard)
@@ -554,8 +562,8 @@ def build_sharded_root_table_u8(data: np.ndarray, height: int,
 
     d_local = depth - shard_levels
     n_shards = 1 << shard_levels
-    rows_per_shard = 128 << d_local
-    flat_local = 128 << d_local
+    rows_per_shard = (128 * n_blk) << d_local
+    flat_local = (128 * n_blk) << d_local
     h = height // group_size
     row_bytes = group_size * slot_bytes
     rows = data[: h * group_size].reshape(h, row_bytes)
@@ -564,7 +572,7 @@ def build_sharded_root_table_u8(data: np.ndarray, height: int,
         lo = s * rows_per_shard
         local_h = min(max(h - lo, 0), rows_per_shard)
         if local_h:
-            perm = _fast_leaf_perm_root(d_local, local_h)
+            perm = _fast_leaf_perm_root(d_local, local_h, n_blk)
             sc = scatter_rows_to_storage_order(
                 rows[lo:lo + local_h], perm, flat_local
             )
@@ -748,11 +756,13 @@ class MeshPirServer:
                 self._tables[(g, rows_per_shard)] = (
                     jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
                 )
-            for (g, depth), (tbl, padded_len) in list(self._root_tables.items()):
-                pos, vals = self._root_update_rows(idxs, g, depth, padded_len)
+            for (g, depth, n_blk), (tbl, padded_len) in list(
+                    self._root_tables.items()):
+                pos, vals = self._root_update_rows(idxs, g, depth, padded_len,
+                                                   n_blk)
                 if pos is None:
                     continue
-                self._root_tables[(g, depth)] = (
+                self._root_tables[(g, depth, n_blk)] = (
                     tbl.at[jnp.asarray(pos)].set(jnp.asarray(vals)),
                     padded_len,
                 )
@@ -793,7 +803,7 @@ class MeshPirServer:
         vals = self.db.data[: h * g].reshape(h, row_bytes)[r]
         return pos, vals
 
-    def _root_update_rows(self, idxs, g, depth, padded_len):
+    def _root_update_rows(self, idxs, g, depth, padded_len, n_blk=1):
         """Storage positions + fresh row bytes for changed rows in a
         root-start sharded u8 table (one scatter per layout)."""
         from ..dpf.device import _fast_leaf_perm_root
@@ -805,14 +815,14 @@ class MeshPirServer:
             return None, None
         shard_levels = self.n_shards.bit_length() - 1
         d_local = depth - shard_levels
-        rows_per_shard = 128 << d_local
+        rows_per_shard = (128 * n_blk) << d_local
         s = r // rows_per_shard
         r_loc = r % rows_per_shard
         pos = np.empty(len(r), dtype=np.int64)
         for sh in np.unique(s):
             local_h = min(max(h - int(sh) * rows_per_shard, 0),
                           rows_per_shard)
-            perm = _fast_leaf_perm_root(d_local, local_h)
+            perm = _fast_leaf_perm_root(d_local, local_h, n_blk)
             m = s == sh
             pos[m] = int(sh) * padded_len + perm[r_loc[m]]
         row_bytes = g * self.db.slot_bytes
@@ -845,10 +855,10 @@ class MeshPirServer:
             )
         return self._steps[key]
 
-    def _root_table(self, group_size: int, depth: int):
+    def _root_table(self, group_size: int, depth: int, n_blk: int = 1):
         from jax.sharding import NamedSharding
 
-        key = (group_size, depth)
+        key = (group_size, depth, n_blk)
         if key not in self._root_tables:
             with self._lock:
                 if key not in self._root_tables:
@@ -856,6 +866,7 @@ class MeshPirServer:
                     table = build_sharded_root_table_u8(
                         self.db.data, self.db.db_size, group_size,
                         self.db.slot_bytes, depth, shard_levels,
+                        n_blk=n_blk,
                     )
                     padded_len = table.shape[0] // self.n_shards
                     dev = jax.device_put(
@@ -866,7 +877,8 @@ class MeshPirServer:
         return self._root_tables[key][0]
 
     def _root_step(self, layout):
-        key = (layout.depth, layout.total, layout.shared_rk)
+        key = (layout.depth, layout.total, layout.shared_rk,
+               layout.leaf_blocks)
         if key not in self._root_steps:
             shard_levels = self.n_shards.bit_length() - 1
             self._root_steps[key] = make_sharded_fast_root_step(
@@ -897,11 +909,18 @@ class MeshPirServer:
         root-start step cannot shard this domain."""
         from ..dpf.device import compat_skip_levels
 
+        from ..utils.bits import num_bits_for_height
+
         if self.n_shards & (self.n_shards - 1):
             return None
         shard_levels = self.n_shards.bit_length() - 1
         h = self.db.db_size // q0.group_size
         num_bits = len(q0.key_two_party.cw)
+        # the table geometry must come from the DATABASE, not the key: a
+        # crafted cw count would otherwise size a 2^num_bits-row sharded
+        # table build (remote-DoS class; cf. server.validate_fast_key_geometry)
+        if num_bits != num_bits_for_height(h):
+            return None
         skip = compat_skip_levels(num_bits, h)
         nbd = num_bits - skip
         # cascade needs d_local > split = 5 + log2(w)
@@ -971,7 +990,8 @@ class MeshPirServer:
         g = queries[0].group_size
         pay, layout = make_fast_payload_batch(queries, shared_rk=True)
         with self._lock:
-            table = self._root_table(g, queries[0].key_fast.depth)
+            table = self._root_table(g, queries[0].key_fast.depth,
+                                     layout.leaf_blocks)
         out = np.asarray(self._root_step(layout)(table, jnp.asarray(pay)))
         sb = self.db.slot_bytes
         return [
@@ -981,13 +1001,14 @@ class MeshPirServer:
         ]
 
     def _perm(self, kind: str, d_levels: int, per_shard_nodes: int,
-              rows_per_shard: int):
+              rows_per_shard: int, n_blk: int = 1):
         from ..dpf.device import _fast_leaf_perm
 
-        key = (kind, d_levels, per_shard_nodes)
+        key = (kind, d_levels, per_shard_nodes, n_blk)
         if key not in self._perms:
             self._perms[key] = jnp.asarray(
-                _fast_leaf_perm(d_levels, rows_per_shard, per_shard_nodes)
+                _fast_leaf_perm(d_levels, rows_per_shard, per_shard_nodes,
+                                n_blk)
                 if kind == "fast"
                 else shard_local_perm(d_levels, per_shard_nodes)
             )
@@ -998,7 +1019,7 @@ class MeshPirServer:
             return False
         h = self.db.db_size // query.group_size
         if query.key_fast is not None:
-            return h >= 128 * 32 * self.n_shards
+            return h >= query.key_fast.leaf_bits * 32 * self.n_shards
         return h >= 32 * self.n_shards * 2  # subtree split needs headroom
 
     def _points_applicable(self, query) -> bool:
@@ -1178,8 +1199,9 @@ class MeshPirServer:
         fcw = np.stack([k.fcw_masks for k in keys])
         rk = np.stack([k.rk_masks for k in keys])
         rk_leaf = np.stack([k.rk_leaf for k in keys])
+        n_blk = k0.fcw_masks.shape[1] if k0.fcw_masks.ndim == 4 else 1
         perm = self._perm("fast", k0.d_levels, k0.per_shard_nodes,
-                          k0.rows_per_shard)
+                          k0.rows_per_shard, n_blk)
         table = self._sharded_table(g, k0.rows_per_shard)
         step = self._step("fast", k0.d_levels)
         out = np.asarray(
@@ -1204,8 +1226,15 @@ class MeshPirServer:
             and q.is_two_party == q0.is_two_party
             and q.is_keyword_based == q0.is_keyword_based
             and (q.key_fast is not None) == (q0.key_fast is not None)
+            and (q.key_fast is None
+                 or q.key_fast.leaf_bits == q0.key_fast.leaf_bits)
             for q in queries
         )
+        if q0.key_fast is not None:
+            # reject crafted depth/leaf geometry before any table build
+            srv.validate_fast_key_geometry(
+                q0.key_fast, self.db.db_size // q0.group_size
+            )
         # the root-start paths carry their own (weaker) capacity gates,
         # so they are checked before the host-prefix paths' 32-node
         # minimum (_mesh_applicable)

@@ -81,26 +81,34 @@ def _new_query_shares(
 
 def new_index_query_shares(
     dbmd: DBMetadata, index: int, group_size: int, num_shares: int,
-    fast: bool = False,
+    fast: bool = False, leaf_bits: int | None = None,
 ) -> list[QueryShare]:
     """query.go:42-44. fast=True uses the early-termination DPF (native
     mode, ~32x cheaper server expansion; not wire-compatible with the
-    reference's per-row varint leaves, but recovers identical answers)."""
+    reference's per-row varint leaves, but recovers identical answers).
+    leaf_bits widens the fast leaves (dpf.host wide-leaf note: tree AES
+    shrinks geometrically; defaults to dpf.host.DEFAULT_FAST_LEAF_BITS,
+    clamped per height)."""
     if fast:
-        return new_fast_index_query_shares(dbmd, index, group_size, num_shares)
+        return new_fast_index_query_shares(dbmd, index, group_size,
+                                           num_shares, leaf_bits=leaf_bits)
     return _new_query_shares(dbmd, index, group_size, num_shares, True)
 
 
 def new_fast_index_query_shares(
-    dbmd: DBMetadata, index: int, group_size: int, num_shares: int
+    dbmd: DBMetadata, index: int, group_size: int, num_shares: int,
+    leaf_bits: int | None = None,
 ) -> list[QueryShare]:
     if num_shares != 2:
         raise NotImplementedError("fast mode is two-party")
     dim_height = dbmd.db_size // group_size
     if dim_height == 0:
         raise ValueError("database height is set to zero; something is wrong")
-    pf = dpf.client_initialize(dpf.fast_depth_for_height(dim_height))
-    keys = dpf.generate_two_server_fast(pf, index, dim_height)
+    lb = dpf.fast_leaf_bits_for_height(
+        dim_height, leaf_bits or dpf.DEFAULT_FAST_LEAF_BITS
+    )
+    pf = dpf.client_initialize(dpf.fast_depth_for_height(dim_height, lb))
+    keys = dpf.generate_two_server_fast(pf, index, dim_height, leaf_bits=lb)
     return [
         QueryShare(
             key_two_party=None,
@@ -118,7 +126,7 @@ def new_fast_index_query_shares(
 
 def new_fast_index_query_shares_batch(
     dbmd: DBMetadata, indices: list[int], group_size: int,
-    num_shares: int = 2,
+    num_shares: int = 2, leaf_bits: int | None = None,
 ) -> list[list[QueryShare]]:
     """Batched fast-mode share construction: one vectorised keygen walk
     for the whole batch (dpf.host.generate_two_server_fast_batch). All
@@ -129,8 +137,12 @@ def new_fast_index_query_shares_batch(
     dim_height = dbmd.db_size // group_size
     if dim_height == 0:
         raise ValueError("database height is set to zero; something is wrong")
-    pf = dpf.client_initialize(dpf.fast_depth_for_height(dim_height))
-    key_pairs = dpf.generate_two_server_fast_batch(pf, indices, dim_height)
+    lb = dpf.fast_leaf_bits_for_height(
+        dim_height, leaf_bits or dpf.DEFAULT_FAST_LEAF_BITS
+    )
+    pf = dpf.client_initialize(dpf.fast_depth_for_height(dim_height, lb))
+    key_pairs = dpf.generate_two_server_fast_batch(pf, indices, dim_height,
+                                                   leaf_bits=lb)
     return [
         [
             QueryShare(
@@ -187,12 +199,12 @@ def _new_query_shares_batch(
 
 def new_index_query_shares_batch(
     dbmd: DBMetadata, indices: list[int], group_size: int,
-    num_shares: int = 2, fast: bool = False,
+    num_shares: int = 2, fast: bool = False, leaf_bits: int | None = None,
 ) -> list[list[QueryShare]]:
     """Batched share construction; one [share per server] list per index."""
     if fast:
         return new_fast_index_query_shares_batch(
-            dbmd, indices, group_size, num_shares
+            dbmd, indices, group_size, num_shares, leaf_bits=leaf_bits
         )
     return _new_query_shares_batch(dbmd, indices, group_size, num_shares, True)
 

@@ -42,10 +42,28 @@ def _server_dpf(db: Database, query: QueryShare) -> dpf_host.Dpf:
     return dpf_host.server_initialize(query.prf_keys, num_bits)
 
 
+def validate_fast_key_geometry(key_fast, dim_height: int) -> None:
+    """Reject fast keys whose geometry disagrees with the database.
+
+    ``depth`` and the leaf width drive expansion and table-layout
+    allocations (128 * n_blk << depth flat rows), so a crafted key must
+    fail fast instead of driving giant allocations — the same
+    remote-DoS class as the served cPIR geometry bound (the analogue of
+    db_test.go:211-220 dimension sanity)."""
+    lb = key_fast.leaf_bits
+    if lb < 128 or lb & (lb - 1):
+        raise ValueError("unsupported fast-key leaf width")
+    if (key_fast.height != dim_height
+            or lb > max(128, 1 << max(0, dim_height - 1).bit_length())
+            or key_fast.depth != dpf_host.fast_depth_for_height(dim_height, lb)):
+        raise ValueError("fast key geometry does not match the database")
+
+
 def expand_shared_query(db: Database, query: QueryShare) -> np.ndarray:
     """Host expansion of the DPF into per-row selection bits (db.go:109-174)."""
     dim_height = db.db_size // query.group_size
     if query.key_fast is not None:
+        validate_fast_key_geometry(query.key_fast, dim_height)
         pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
         return dpf_host.eval_full_domain_fast_bits(pf, query.key_fast)
     pf = _server_dpf(db, query)
@@ -123,6 +141,7 @@ class NativePirServer:
             # unique rows) answers it with identical semantics
             return expand_shared_query(self.db, query)
         if query.key_fast is not None:
+            validate_fast_key_geometry(query.key_fast, h)
             return native.expand_fast_bits(query)
         if query.is_keyword_based:
             return native.eval_point_bits(query, 32, self.db.keywords[:h])
@@ -273,9 +292,10 @@ class TpuPirServer:
 
         return self._cached(self._plane_tables, group_size, build)
 
-    def _root_plane_table(self, group_size: int, depth: int):
+    def _root_plane_table(self, group_size: int, depth: int, n_blk: int = 1):
         """Storage-ordered (bit-reversed leaves) plane table for the
-        root-start batched path; None if over the memory budget."""
+        root-start batched path; None if over the memory budget.
+        ``n_blk`` = leaf width in 128-bit blocks (wide-leaf fast keys)."""
 
         def build():
             import jax.numpy as jnp
@@ -288,15 +308,17 @@ class TpuPirServer:
 
             h = self.db.db_size // group_size
             row_bytes = group_size * self.db.slot_bytes
-            flat = 128 << depth
+            flat = (128 * n_blk) << depth
             if flat * row_bytes * 8 > self.plane_table_budget:
                 return None
-            perm = _fast_leaf_perm_root(depth, h)
+            perm = _fast_leaf_perm_root(depth, h, n_blk)
             rows = self.db.data[: h * group_size].reshape(h, row_bytes)
             sc = scatter_rows_to_storage_order(rows, perm, flat)
             return jnp.asarray(make_plane_table(sc))
 
-        return self._cached(self._storage_cache, ("root", group_size, depth), build)
+        return self._cached(
+            self._storage_cache, ("root", group_size, depth, n_blk), build
+        )
 
     def _compat_root_plane_table(self, group_size: int, num_bits: int):
         """Bit-reversed-row plane table for the batched compat path.
@@ -354,9 +376,10 @@ class TpuPirServer:
             ("compat_u8", group_size, device_bits, w, tails), build
         )
 
-    def _root_table_u8(self, group_size: int, depth: int):
+    def _root_table_u8(self, group_size: int, depth: int, n_blk: int = 1):
         """Storage-ordered raw u8 table for the gather-free streaming MXU
-        fast path (1 GiB+ tables where the plane table is over budget)."""
+        fast path (1 GiB+ tables where the plane table is over budget).
+        ``n_blk`` = leaf width in 128-bit blocks (wide-leaf fast keys)."""
 
         def build():
             import jax.numpy as jnp
@@ -369,14 +392,14 @@ class TpuPirServer:
 
             h = self.db.db_size // group_size
             row_bytes = group_size * self.db.slot_bytes
-            flat = 128 << depth
-            perm = _fast_leaf_perm_root(depth, h)
+            flat = (128 * n_blk) << depth
+            perm = _fast_leaf_perm_root(depth, h, n_blk)
             rows = self.db.data[: h * group_size].reshape(h, row_bytes)
             sc = scatter_rows_to_storage_order(rows, perm, flat)
             return jnp.asarray(pad_rows_u8(sc, self.mxu_block))
 
         return self._cached(
-            self._storage_cache, ("root_u8", group_size, depth), build
+            self._storage_cache, ("root_u8", group_size, depth, n_blk), build
         )
 
     def _storage_tables(self, group_size: int, dkey):
@@ -384,6 +407,8 @@ class TpuPirServer:
         (planes_i8 (flat, 8B) or None, words_u32 (flat, C)). Cached per
         (group size, expansion geometry)."""
         d, mp = dkey.plan.device_levels, dkey.plan.m_padded
+
+        n_blk = dkey.fcw_masks.shape[1] if dkey.fcw_masks.ndim == 4 else 1
 
         def build():
             import jax.numpy as jnp
@@ -394,8 +419,8 @@ class TpuPirServer:
             )
 
             h = self.db.db_size // group_size
-            flat = (mp << d) * 128
-            perm = _fast_leaf_perm(d, h, mp)
+            flat = (mp << d) * 128 * n_blk
+            perm = _fast_leaf_perm(d, h, mp, n_blk)
             row_bytes = group_size * self.db.slot_bytes
             rows = self.db.data[: h * group_size].reshape(h, row_bytes)
             sc_rows = scatter_rows_to_storage_order(rows, perm, flat)
@@ -408,7 +433,9 @@ class TpuPirServer:
             words = jnp.asarray(arr.view("<u4").reshape(flat, -1))
             return (None, words)
 
-        return self._cached(self._storage_cache, (group_size, d, mp), build)
+        return self._cached(
+            self._storage_cache, (group_size, d, mp, n_blk), build
+        )
 
     def _table_u8(self, group_size: int):
         """uint8 row-major table padded for the MXU bit-plane scan."""
@@ -523,12 +550,12 @@ class TpuPirServer:
                 if not len(r):
                     continue
                 if kind == "root_u8":
-                    perm = _fast_leaf_perm_root(key[2], h)
+                    perm = _fast_leaf_perm_root(key[2], h, key[3])
                     self._storage_cache[key] = patched(
                         val, perm[r], raw_rows(g, r)
                     )
                 elif kind == "root":
-                    perm = _fast_leaf_perm_root(key[2], h)
+                    perm = _fast_leaf_perm_root(key[2], h, key[3])
                     self._storage_cache[key] = patched(
                         val, perm[r], make_plane_table(raw_rows(g, r))
                     )
@@ -542,8 +569,8 @@ class TpuPirServer:
                     self._storage_cache[key] = patched(
                         val, perm[r], make_plane_table(raw_rows(g, r))
                     )
-                else:  # (g, d, mp) -> (None, u32 word table)
-                    perm = _fast_leaf_perm(key[1], h, key[2])
+                else:  # (g, d, mp, n_blk) -> (None, u32 word table)
+                    perm = _fast_leaf_perm(key[1], h, key[2], key[3])
                     self._storage_cache[key] = (
                         val[0],
                         patched(val[1], perm[r], self._packed_u32_rows(g, r)),
@@ -574,6 +601,7 @@ class TpuPirServer:
         )
 
         if query.key_fast is not None:
+            validate_fast_key_geometry(query.key_fast, height)
             pf = dpf_host.server_initialize(query.prf_keys, query.key_fast.depth)
             dkey = make_device_fast_key(pf, query.key_fast, self.min_device_nodes)
             if dkey.host_bits is not None:
@@ -591,6 +619,7 @@ class TpuPirServer:
 
     def _fast_perm(self, dkey):
         """Device-resident fast-mode leaf permutation (shared per shape)."""
+        n_blk = dkey.fcw_masks.shape[1] if dkey.fcw_masks.ndim == 4 else 1
 
         def build():
             import jax.numpy as jnp
@@ -599,10 +628,11 @@ class TpuPirServer:
 
             return jnp.asarray(
                 _fast_leaf_perm(dkey.plan.device_levels, dkey.height,
-                                dkey.plan.m_padded)
+                                dkey.plan.m_padded, n_blk)
             )
 
-        key = ("fast", dkey.plan.device_levels, dkey.height, dkey.plan.m_padded)
+        key = ("fast", dkey.plan.device_levels, dkey.height,
+               dkey.plan.m_padded, n_blk)
         return self._cached(self._perms, key, build)
 
     def _kw_plane_table(self, group_size: int, height: int):
@@ -854,6 +884,7 @@ class TpuPirServer:
 
         g = queries[0].group_size
         depth = queries[0].key_fast.depth
+        n_blk = queries[0].key_fast.leaf_bits // 128
         cap = self.fast_nonshared_chunk
         if shared_rk is None:
             shared_rk = self._batch_shares_prf_keys(queries)
@@ -885,12 +916,12 @@ class TpuPirServer:
             return fused_fast_root_batch_pallas_fn(
                 root_layout, tail_levels=self.pallas_tail_levels,
                 interpret=not on_tpu,
-            )(self._root_table_u8(g, depth), pay)
-        root_planes = self._root_plane_table(g, depth)
+            )(self._root_table_u8(g, depth, n_blk), pay)
+        root_planes = self._root_plane_table(g, depth, n_blk)
         if root_planes is not None:
             return fused_fast_root_batch_fn(root_layout)(root_planes, pay)
         return fused_fast_root_batch_mxu_fn(root_layout, self.mxu_block)(
-            self._root_table_u8(g, depth), pay
+            self._root_table_u8(g, depth, n_blk), pay
         )
 
     def private_secret_shared_query_batch_async(
@@ -918,11 +949,17 @@ class TpuPirServer:
         fast = queries[0].key_fast is not None
         if queries[0].is_keyword_based:
             return  # keyword batches validate in _keyword_query_batch
+        lb = queries[0].key_fast.leaf_bits if fast else None
+        if fast:
+            validate_fast_key_geometry(queries[0].key_fast,
+                                       self.db.db_size // g)
         for query in queries:
             if query.group_size != g or not query.is_two_party or query.is_keyword_based:
                 raise ValueError("batch requires uniform 2-party index queries")
             if (query.key_fast is not None) != fast:
                 raise ValueError("batch cannot mix fast and compat queries")
+            if fast and query.key_fast.leaf_bits != lb:
+                raise ValueError("batch cannot mix fast-key leaf widths")
 
     def private_secret_shared_query_batch(
         self, queries: list[QueryShare]
@@ -1049,6 +1086,9 @@ class FastServingStream:
         q0 = queries[0]
         if q0.key_fast is None or q0.is_keyword_based:
             raise ValueError("stream serves fast-mode index queries only")
+        validate_fast_key_geometry(
+            q0.key_fast, srv.db.db_size // q0.group_size
+        )
         if not srv._batch_shares_prf_keys(queries):
             raise ValueError("stream batches need batch-shared PRF keys")
         pay, layout = make_fast_payload_batch(queries, shared_rk=True)
@@ -1063,7 +1103,8 @@ class FastServingStream:
             self._shape = shape
             # resolved per submit (not pinned) so live updates
             # (apply_updates) reach an open stream at the next batch
-            self._table_key = (q0.group_size, q0.key_fast.depth)
+            self._table_key = (q0.group_size, q0.key_fast.depth,
+                               q0.key_fast.leaf_bits // 128)
             self._step = fused_fast_overlap_step_fn(
                 layout, tail_levels=srv.pallas_tail_levels,
                 interpret=not on_tpu,

@@ -793,12 +793,16 @@ class PirClient:
 
     # ---- secret-shared index PIR ----
 
-    def query_index(self, index: int, group_size: int = 1, fast: bool = False):
-        """Full private retrieval: keygen, fan out shares, recover."""
+    def query_index(self, index: int, group_size: int = 1, fast: bool = False,
+                    leaf_bits: int | None = None):
+        """Full private retrieval: keygen, fan out shares, recover.
+        leaf_bits (fast mode only) widens the early-termination leaves
+        (dpf/host.py wide-leaf note: ~3x less server AES at 1024)."""
         from .query import new_index_query_shares
 
         shares = new_index_query_shares(
-            self.metadata, index, group_size, len(self._socks), fast=fast
+            self.metadata, index, group_size, len(self._socks), fast=fast,
+            leaf_bits=leaf_bits,
         )
         return self._fan_out_recover(shares)
 
@@ -817,14 +821,15 @@ class PirClient:
         return recover(results)
 
     def query_index_batch(self, indices: list[int], group_size: int = 1,
-                          fast: bool = True):
+                          fast: bool = True, leaf_bits: int | None = None):
         """Batched retrieval: one round trip per server for all indices.
-        Fast-mode keygen runs vectorised over the whole batch."""
+        Fast-mode keygen runs vectorised over the whole batch; leaf_bits
+        widens the fast leaves (clamped per height)."""
         from .query import new_index_query_shares_batch
 
         share_lists = new_index_query_shares_batch(
             self.metadata, list(indices), group_size, len(self._socks),
-            fast=fast,
+            fast=fast, leaf_bits=leaf_bits,
         )
         return self._fan_out_recover_batch(share_lists)
 

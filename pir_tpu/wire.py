@@ -84,26 +84,40 @@ def deserialize_key2p(buf: memoryview) -> tuple[Key2P, int]:
 # ---- FastKey2P ----
 
 def serialize_fast_key(key) -> bytes:
-    parts = [bytes(key.s_init), struct.pack("<BH", key.t_init, key.depth)]
+    """128-bit-leaf keys keep the original fixed-fcw encoding; wide-leaf
+    keys (leaf_bits > 128, flagged by bit 4 of the QueryShare flags) add
+    a u8 block count before the cw list and carry a 16*n_blk-byte fcw."""
+    n_blk = len(key.final_cw_block) // 16
+    parts = [bytes(key.s_init)]
+    if n_blk == 1:
+        parts.append(struct.pack("<BH", key.t_init, key.depth))
+    else:
+        parts.append(struct.pack("<BHB", key.t_init, key.depth, n_blk))
     parts += [bytes(cw) for cw in key.cw]
     parts.append(bytes(key.final_cw_block))
     parts.append(struct.pack("<Q", key.height))
     return b"".join(parts)
 
 
-def deserialize_fast_key(buf: memoryview):
+def deserialize_fast_key(buf: memoryview, wide: bool = False):
     from .dpf.host import FastKey2P
 
     s_init = bytes(buf[:16])
-    t_init, depth = struct.unpack_from("<BH", buf, 16)
-    off = 19
-    _need(buf, off, depth * 18 + 24)
+    if wide:
+        t_init, depth, n_blk = struct.unpack_from("<BHB", buf, 16)
+        off = 20
+        if n_blk < 2:
+            raise ValueError("wide fast key must have >= 2 leaf blocks")
+    else:
+        t_init, depth = struct.unpack_from("<BH", buf, 16)
+        off, n_blk = 19, 1
+    _need(buf, off, depth * 18 + 16 * n_blk + 8)
     cw = []
     for _ in range(depth):
         cw.append(bytes(buf[off:off + 18]))
         off += 18
-    fcw = bytes(buf[off:off + 16])
-    off += 16
+    fcw = bytes(buf[off:off + 16 * n_blk])
+    off += 16 * n_blk
     (height,) = struct.unpack_from("<Q", buf, off)
     off += 8
     return FastKey2P(s_init, t_init, cw, fcw, depth, height), off
@@ -161,6 +175,8 @@ def serialize_query_share(qs: QueryShare) -> bytes:
         flags |= 2
     if qs.key_fast is not None:
         flags |= 4  # bit2: early-termination (fast) key
+        if len(qs.key_fast.final_cw_block) != 16:
+            flags |= 16  # bit4: wide-leaf fast key (leaf_bits > 128)
     if qs.key_multi_party is not None:
         flags |= 8  # bit3: multi-party (>=3 server) key
     head = _header(MSG_QUERY_SHARE) + struct.pack(
@@ -183,7 +199,7 @@ def deserialize_query_share(data: bytes) -> QueryShare:
     off += 64
     key2p, key_fast, key_mp = None, None, None
     if flags & 4:
-        key_fast, _ = deserialize_fast_key(buf[off:])
+        key_fast, _ = deserialize_fast_key(buf[off:], wide=bool(flags & 16))
     elif flags & 8:
         key_mp, _ = deserialize_key_mp(buf[off:])
     else:
