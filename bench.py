@@ -141,12 +141,19 @@ def worker():
     batch = int(os.environ.get("BENCH_BATCH", 4096))
     reps = int(os.environ.get("BENCH_REPS", 4))
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
+    # wide-leaf fast keys (dpf/host.py wide-leaf note): leaf_bits = 128*n
+    # cuts tree AES ~3x at 1024 on the 2^20 table; clamped per height so
+    # the device root-start path keeps >= 5 levels. None = 128-bit leaves.
+    leaf_bits = int(os.environ.get("BENCH_LEAF_BITS", 0)) or None
+    if not fast:
+        leaf_bits = None
     if cpu_fallback:
         height, slot_bytes, batch, reps = 1 << 14, 64, 64, 2
 
     log(f"devices: {jax.devices()}")
     log(f"db: {height} rows x {slot_bytes} B = {height*slot_bytes/2**20:.0f} MiB, "
-        f"batch {batch} x {reps} reps, mode={'fast' if fast else 'compat'}")
+        f"batch {batch} x {reps} reps, mode={'fast' if fast else 'compat'}"
+        + (f", leaf_bits={leaf_bits}" if leaf_bits else ""))
 
     # one-time relay warmup: the first device->host fetch in a process is
     # pathologically slow on the tunnel (1-4 min, occasionally worse) and
@@ -183,7 +190,7 @@ def worker():
         idxs = rng.integers(0, h, size=n)
         # vectorised batch keygen: one tree walk for the whole batch
         shares = q.new_index_query_shares_batch(
-            md_, [int(i) for i in idxs], 1, 2, fast=fast
+            md_, [int(i) for i in idxs], 1, 2, fast=fast, leaf_bits=leaf_bits
         )
         if both:
             return [s[0] for s in shares], [s[1] for s in shares], idxs
