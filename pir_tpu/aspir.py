@@ -119,6 +119,13 @@ def generate_auth_chal_for_query(
     from dataclasses import replace
 
     group_size = query.query0.col.group_size
+    # served auth queries are attacker-controlled: the narrowing below
+    # divides by the col group size, and the challenge must be exactly
+    # one level-2 ciphertext per side (the reference asserts the same
+    # exactly-one shape for the shared variant, aspir.go:272-274) —
+    # bound both here so malformed frames die as clean protocol errors.
+    if group_size < 1 or query.query1.col.group_size != group_size:
+        raise ValueError("invalid group size provided in auth query")
 
     def narrowed(dq: DoublyEncryptedQuery) -> DoublyEncryptedQuery:
         return DoublyEncryptedQuery(
@@ -136,6 +143,12 @@ def generate_auth_chal_for_query(
     res1 = private_encrypted_query_over_encrypted_result(
         key_db, q1.col, row_res1, engine=engine
     )
+
+    for res in (res0, res1):
+        if len(res.slots) != 1 or len(res.slots[0].cts) != 1:
+            raise ValueError(
+                "auth challenge must reduce to exactly one ciphertext"
+            )
 
     return ChalToken(res0.slots[0].cts[0], res1.slots[0].cts[0], secparam)
 

@@ -304,10 +304,20 @@ def private_encrypted_query_over_encrypted_result(
 ) -> DoublyEncryptedQueryResult:
     """db.go:294-358: level-2 selection over level-1 ciphertext values."""
     pk = query.pk
-    num_cts = len(result.slots[0].cts)
     g = query.group_size
+    # the column query is attacker-controlled when served (db.go:294-358
+    # semantics over the wire): bound its geometry against the row result
+    # it selects over, with the same ValueError class as the row pass —
+    # a short ebits vector must not surface as an IndexError.
+    if g < 1:
+        raise ValueError("invalid group size provided in query")
+    if not result.slots:
+        raise ValueError("empty row result")
+    num_cts = len(result.slots[0].cts)
     if len(result.slots) % g != 0:
         raise ValueError("row has a size that is not a multiple of the group size")
+    if len(query.ebits) != len(result.slots) // g:
+        raise ValueError("column query does not match the row result geometry")
 
     # level-2 exponents are full level-1 ciphertext values (db.go:332)
     scan = _scan_fn(engine, e_max=pk.n2.bit_length())

@@ -85,3 +85,49 @@ def test_aspir_proof_bound_to_committed_token(keys):
     proof = auth_prove(state, chal)
     proof.auth_token = pk.encrypt_zero()  # not the committed token
     assert not auth_check(pk, auth_query, chal, proof)
+
+
+def test_auth_chal_geometry_bounds(keys):
+    """Malformed served auth queries must die as clean ValueErrors in
+    generate_auth_chal_for_query (aspir.py bounds; the reference only
+    asserts the exactly-one shape for the shared variant,
+    aspir.go:272-274), never IndexError/ZeroDivisionError."""
+    sk, pk = keys
+    db = generate_random_db(TEST_DB_SIZE, SEC_BYTES)
+    keydb = generate_random_db(TEST_DB_SIZE, SEC_BYTES)
+    auth_key = keydb.slot(3)
+
+    def fresh():
+        return new_authenticated_query(db.metadata(), sk, 1, 3, auth_key)[0]
+
+    q = fresh()
+    q.query1.col.group_size = 2  # mismatched sides
+    with pytest.raises(ValueError, match="group size"):
+        generate_auth_chal_for_query(SEC_BYTES, keydb, q)
+
+    q = fresh()
+    q.query0.col.group_size = 0
+    q.query1.col.group_size = 0
+    with pytest.raises(ValueError, match="group size"):
+        generate_auth_chal_for_query(SEC_BYTES, keydb, q)
+
+    q = fresh()  # short col vector: geometry error, not IndexError
+    q.query0.col.ebits = q.query0.col.ebits[:-1]
+    with pytest.raises(ValueError, match="geometry"):
+        generate_auth_chal_for_query(SEC_BYTES, keydb, q)
+
+
+def test_auth_chal_requires_single_ciphertext_reduction(keys):
+    """A key DB whose slots span multiple Paillier plaintexts cannot
+    yield the one-ciphertext ChalToken the protocol carries — the server
+    must reject rather than silently drop ciphertext chunks."""
+    sk, pk = keys
+    db = generate_random_db(TEST_DB_SIZE, SEC_BYTES)
+    # 128-bit test modulus => 14 plaintext bytes per ciphertext; 33-byte
+    # auth keys need 3 ciphertext chunks per key-DB slot
+    keydb = generate_random_db(TEST_DB_SIZE, 33)
+    auth_query, _ = new_authenticated_query(
+        db.metadata(), sk, 1, 3, keydb.slot(3)
+    )
+    with pytest.raises(ValueError, match="exactly one ciphertext"):
+        generate_auth_chal_for_query(SEC_BYTES, keydb, auth_query)

@@ -315,3 +315,52 @@ def test_shared_aspir_batch_leaderless_two_servers():
     finally:
         for s in services:
             s.close()
+
+
+def test_malformed_geometry_frames_answer_op_error(paillier_keys):
+    """Crafted recursive-query and auth-challenge frames with broken
+    geometry (short col vectors, zero/mismatched group sizes) must come
+    back as clean OP_ERROR frames on a connection that keeps serving
+    (VERDICT r3: encrypted.py column-pass + aspir.py challenge bounds)."""
+    sk, _ = paillier_keys
+    from pir_tpu.aspir import new_authenticated_query
+    from pir_tpu.encrypted import new_doubly_encrypted_query
+    from pir_tpu.service import OP_ASPIR_CHAL, OP_ENCRYPTED_QUERY_REC
+
+    db = generate_random_db(1 << 6, SEC_BYTES)
+    key_db = generate_random_db(1 << 6, SEC_BYTES)
+    svc = PirService(db, key_db=key_db).start()
+    try:
+        client = PirClient([svc.address])
+
+        q = new_doubly_encrypted_query(db.metadata(), sk.public_key, 1, 0)
+        q.col.ebits = q.col.ebits[:-1]  # short col vector
+        with pytest.raises(RuntimeError, match="geometry"):
+            client._rpc(0, OP_ENCRYPTED_QUERY_REC,
+                        wire.serialize_doubly_encrypted_query(q))
+
+        aq, _ = new_authenticated_query(
+            db.metadata(), sk, 1, 3, key_db.slot(3)
+        )
+        aq.query1.col.group_size = 2  # mismatched sides
+        with pytest.raises(RuntimeError, match="group size"):
+            client._rpc(0, OP_ASPIR_CHAL,
+                        struct.pack("<I", SEC_BYTES)
+                        + wire.serialize_auth_query(aq))
+
+        aq2, _ = new_authenticated_query(
+            db.metadata(), sk, 1, 3, key_db.slot(3)
+        )
+        aq2.query0.col.ebits = aq2.query0.col.ebits[:-1]
+        with pytest.raises(RuntimeError, match="geometry"):
+            client._rpc(0, OP_ASPIR_CHAL,
+                        struct.pack("<I", SEC_BYTES)
+                        + wire.serialize_auth_query(aq2))
+
+        # the connection still serves after every rejected frame
+        idx = 7
+        res = client.query_authenticated(idx, sk, key_db.slot(idx))
+        assert bytes(res[0].data) == db.data[idx].tobytes()
+        client.close()
+    finally:
+        svc.close()

@@ -114,6 +114,34 @@ def test_invalid_group_sizes_raise(keys, db):
         enc.private_doubly_encrypted_query(db, query)
 
 
+def test_recursive_col_geometry_bounds(keys, db):
+    """A served column vector that doesn't match the row result geometry
+    must die with the same ValueError class as the row pass — never an
+    IndexError (encrypted.py column-pass bounds; cf. db.go:294-358)."""
+    sk, pk = keys
+
+    def fresh():
+        return enc.new_doubly_encrypted_query(db.metadata(), pk, 1, 0)
+
+    q_short = fresh()
+    q_short.col.ebits = q_short.col.ebits[:-1]
+    with pytest.raises(ValueError, match="geometry"):
+        enc.private_doubly_encrypted_query(db, q_short)
+
+    q_long = fresh()
+    q_long.col.ebits = q_long.col.ebits + [q_long.col.ebits[0]]
+    with pytest.raises(ValueError, match="geometry"):
+        enc.private_doubly_encrypted_query(db, q_long)
+
+    # direct column-pass calls (the ASPIR challenge path) get the same
+    # bounds even without private_doubly_encrypted_query's pre-checks
+    row_res = enc.private_encrypted_query(db, fresh().row)
+    bad_col = fresh().col
+    bad_col.group_size = 0
+    with pytest.raises(ValueError, match="group size"):
+        enc.private_encrypted_query_over_encrypted_result(db, bad_col, row_res)
+
+
 def test_native_scan_matches_python(keys, db, monkeypatch):
     """The threaded C++ AHE scan (bigmod.cpp:paillier_scan) must produce
     bit-identical ciphertexts to the CPython reference loop, including the
