@@ -143,17 +143,32 @@ def worker():
     fast = os.environ.get("BENCH_MODE", "fast") == "fast"
     # wide-leaf fast keys (dpf/host.py wide-leaf note): leaf_bits = 128*n
     # cuts tree AES ~3x at 1024 on the 2^20 table; clamped per height so
-    # the device root-start path keeps >= 5 levels. None = 128-bit leaves.
-    leaf_bits = int(os.environ.get("BENCH_LEAF_BITS", 0)) or None
+    # the device root-start path keeps >= 5 levels (ADVICE r3: validate
+    # here and log the per-phase EFFECTIVE width, not the request).
+    # 0/unset = the framework default (dpf.host.DEFAULT_FAST_LEAF_BITS).
+    from pir_tpu.dpf import host as dpf_host
+
+    leaf_env = os.environ.get("BENCH_LEAF_BITS", "0")
+    try:
+        leaf_bits = int(leaf_env) or None
+        if leaf_bits is not None:
+            dpf_host.fast_leaf_bits_for_height(1 << 30, leaf_bits)  # validate
+    except ValueError as e:
+        raise SystemExit(f"BENCH_LEAF_BITS={leaf_env!r}: {e}") from None
     if not fast:
         leaf_bits = None
+
+    def eff_leaf(h):
+        return dpf_host.fast_leaf_bits_for_height(
+            h, leaf_bits or dpf_host.DEFAULT_FAST_LEAF_BITS)
     if cpu_fallback:
         height, slot_bytes, batch, reps = 1 << 14, 64, 64, 2
 
     log(f"devices: {jax.devices()}")
     log(f"db: {height} rows x {slot_bytes} B = {height*slot_bytes/2**20:.0f} MiB, "
         f"batch {batch} x {reps} reps, mode={'fast' if fast else 'compat'}"
-        + (f", leaf_bits={leaf_bits}" if leaf_bits else ""))
+        + (f", leaf_bits={eff_leaf(height)} effective"
+           f" (requested {leaf_bits or 'default'})" if fast else ""))
 
     # one-time relay warmup: the first device->host fetch in a process is
     # pathologically slow on the tunnel (1-4 min, occasionally worse) and
@@ -214,7 +229,8 @@ def worker():
         t0 = time.perf_counter()
         sres_a = retry(lambda: sserver.private_secret_shared_query_batch(sa),
                        "small batch compile+run")
-        log(f"small-table warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
+        log(f"small-table warmup (incl. compile): {time.perf_counter()-t0:.1f}s"
+            + (f"; leaf_bits={eff_leaf(sh)} effective" if fast else ""))
         # the background warm fetch was dispatched before sres_a, so once
         # sres_a's fetch has landed the warm one has (or is about to);
         # join here so the TIMED rep below never contends with it.

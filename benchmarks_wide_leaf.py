@@ -46,6 +46,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timeonce(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args).block_until_ready()
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
 
@@ -145,11 +151,67 @@ def main():
                 "keygen_us_per_query": round(keygen_t / batch * 1e6, 1),
                 "aes_per_query": 3 * ((1 << depth) - 1) + (height // 128),
             }
+
+            # device-only timing (relay-adjusted, benchmarks_fast_roof
+            # methodology): the exact serving executable on a prebuilt
+            # payload, block-without-fetch, null-op subtracted — the
+            # number the pipelined serving configuration is bounded by.
+            if os.environ.get("WL_DEVICE", "1") == "1":
+                import jax.numpy as jnp
+
+                from pir_tpu.dpf.device import make_fast_payload_batch
+                from pir_tpu.models.pipeline import (
+                    fused_fast_root_batch_pallas_fn,
+                )
+
+                pay, layout = make_fast_payload_batch(sa)
+                table = server._root_table_u8(1, depth, lb // 128)
+                fn = fused_fast_root_batch_pallas_fn(
+                    layout, tail_levels=tail, interpret=not on_tpu)
+                pay_dev = jnp.asarray(pay)
+                null_fn = jax.jit(lambda t: t[:8, :8] + jnp.uint8(1))
+                t_null = min(
+                    _timeonce(null_fn, table) for _ in range(5))
+                t_dev = min(
+                    _timeonce(fn, table, pay_dev) for _ in range(reps))
+                row["device_ms"] = round((t_dev - t_null) * 1e3, 1)
+                row["null_ms"] = round(t_null * 1e3, 1)
+                row["device_gbps"] = round(
+                    batch * table_bytes / max(t_dev - t_null, 1e-9) / 1e9, 1)
+
+            # pipelined mini-run (the serving configuration): async
+            # submits with payload builds overlapped against device
+            # compute, bench.py methodology.
+            pipe_reps = int(os.environ.get("WL_PIPE", 8))
+            if pipe_reps:
+                pbs = [
+                    [s[0] for s in q.new_index_query_shares_batch(
+                        md, [int(i) for i in
+                             rng.integers(0, height, size=batch)],
+                        1, 2, fast=True, leaf_bits=lb)]
+                    for _ in range(pipe_reps)
+                ]
+                t0 = time.perf_counter()
+                fins, n_out = [], 0
+                for bs in pbs:
+                    fins.append(
+                        server.private_secret_shared_query_batch_async(bs))
+                    if len(fins) > 6:
+                        n_out += len(fins.pop(0)())
+                for f in fins:
+                    n_out += len(f())
+                pt = time.perf_counter() - t0
+                assert n_out == pipe_reps * batch
+                row["pipelined_gbps"] = round(
+                    n_out * table_bytes / pt / 1e9, 1)
+                row["pipelined_qps"] = round(n_out / pt, 1)
+
             results.append(row)
             log(f"  -> {json.dumps(row)}")
             del server  # free the storage-ordered table before the next config
 
-    best = max(results, key=lambda r: r["gbps"])
+    best = max(results,
+               key=lambda r: r.get("pipelined_gbps") or r["gbps"])
     print(json.dumps({
         "metric": "wide_leaf_sweep_best",
         "value": best["gbps"],

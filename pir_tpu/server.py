@@ -741,6 +741,12 @@ class TpuPirServer:
 
         h = self.db.db_size // query.group_size
         if query.is_two_party and not query.is_keyword_based:
+            if self._fast_root_applicable([query]):
+                # singles ride the padded root-start batch path: same
+                # compiled Q=threshold executable and same storage-ordered
+                # table as batched serving (the old per-query storage-fn
+                # path kept a SECOND resident table copy per group size)
+                return self.private_secret_shared_query_batch([query])[0]
             payload, layout, dkey = self._index_payload(query, h)
             if payload is not None and query.key_fast is not None:
                 from .models.pipeline import fused_fast_answer_storage_fn
@@ -772,10 +778,13 @@ class TpuPirServer:
 
     def _fast_root_applicable(self, queries: list[QueryShare]) -> bool:
         """Root-start expansion needs >= one full uint32 lane word of
-        leaves (depth >= 5); tiny domains answer via host bits instead."""
+        leaves (depth >= 5); tiny domains answer via host bits instead.
+        Batches below mxu_batch_threshold qualify too: _dispatch_fast_root
+        pads them to the threshold (one compiled minimum shape), which is
+        the single-dispatch small-batch serving path — batch-1 latency is
+        one Q=8 dispatch, not a separate per-query executable."""
         q0 = queries[0]
         return (q0.key_fast is not None and not q0.is_keyword_based
-                and len(queries) >= self.mxu_batch_threshold
                 and q0.key_fast.depth >= 5)
 
     def _compat_device_bits(self, group_size: int) -> int:
@@ -888,6 +897,17 @@ class TpuPirServer:
         cap = self.fast_nonshared_chunk
         if shared_rk is None:
             shared_rk = self._batch_shares_prf_keys(queries)
+        # small-batch serving: pad to the threshold so batch sizes
+        # 1..threshold-1 share ONE compiled minimum shape; callers slice
+        # results to the original count. shared_rk is resolved BEFORE
+        # padding (tiling duplicates q0, which must not flip a
+        # distinct-key batch to the shared layout). Non-shared batches
+        # pad only up to the chunk cap: padding past it would re-enter
+        # the chunk split below on its own padding, unboundedly.
+        pad_to = (self.mxu_batch_threshold if shared_rk
+                  else min(self.mxu_batch_threshold, cap))
+        if len(queries) < pad_to:
+            queries = pad_tile(queries, pad_to)
         if not shared_rk and len(queries) > cap:
             # distinct-key (multi-tenant) batch: per-query round-key
             # masks OOM HBM at large Q — chunk, padding the tail to

@@ -18,6 +18,8 @@ Deliberately slow (pure-Python AES): use on small domains / few points.
 
 from __future__ import annotations
 
+import math
+
 BLOCK_SIZE = 16
 INIT_PRF_LEN = 4  # dpf/common.go:10
 
@@ -199,6 +201,110 @@ def evaluate_2p(dpf: SpecDpf, server_num: int, s_init: bytes, t_init: int,
     s_final = go_varint(bytes(s_curr[:8]))
     res = s_final + t_curr * final_cw
     return res if server_num == 0 else -res
+
+
+def prf_extended(dpf: SpecDpf, x: bytes, num_blocks: int) -> bytes:
+    """MMO PRG with the framework's documented CTR extension.
+
+    The reference's prf is broken past initPRFLen blocks: it would index
+    cipher i >= 4 out of FixedBlocks (dpf/common.go:62-67 never grows the
+    cipher list) and its grown `out` is a local that the caller's f.Out
+    never sees (dpf/common.go:63 with dpf/server.go:131-136). The
+    framework's documented divergence (pir_tpu/dpf/aes_host.py
+    prf_blocks) extends the PRG as
+
+        out_i = AES_{k_{i mod 4}}(x ^ ctr_i) ^ (x ^ ctr_i),
+        ctr_i = little-endian uint64(i // 4) in bytes 0..7,
+
+    identical to the reference for i < 4. Re-derived here from that
+    statement alone (memoized per SpecDpf: the value is a pure function
+    of (x, num_blocks), and MP full-domain audits revisit the same seed
+    for every point of a row).
+    """
+    memo = getattr(dpf, "_prf_memo", None)
+    if memo is None:
+        memo = dpf._prf_memo = {}
+    got = memo.get((x, num_blocks))
+    if got is not None:
+        return got
+    out = bytearray()
+    for i in range(num_blocks):
+        if i < INIT_PRF_LEN:
+            xi = x
+        else:
+            ctr = (i // INIT_PRF_LEN).to_bytes(8, "little") + bytes(8)
+            xi = bytes(a ^ c for a, c in zip(x, ctr))
+        ct = aes128_encrypt_block(dpf.round_keys[i % INIT_PRF_LEN], xi)
+        out += bytes(c ^ p for c, p in zip(ct, xi))
+    res = bytes(out)
+    memo[(x, num_blocks)] = res
+    return res
+
+
+M_BYTES = 4  # f.M: MP output word size in bytes (dpf/client.go:43)
+
+
+def mp_mu(num_bits: int, num_parties: int) -> int:
+    """µ = ceil(2^(numBits/2) * 2^((p-1)/2)) (dpf/server.go:113), in the
+    FLOAT arithmetic of the Go source — quirk included.
+
+    The float product overshoots exact powers of two when both exponents
+    are half-integers: e.g. numBits=7, p=4 gives 2^3.5 * 2^1.5 =
+    32.00000000000001 in IEEE doubles, so µ = 33 where exact math says
+    32 (verified against the exact integer form ceil(sqrt(2^(nb+p-1)))
+    during development). The artifact is harmless — δ < 2^(numBits/2) ≤
+    either µ, so the extra words are padding — but key shapes (CW width,
+    PRG block count) follow the float value, and pir_tpu.dpf.host
+    replicates it, so the spec must too. Python math.pow and Go math.Pow
+    are both C-libm doubles; the MP path is dead code in Go (keygen
+    panics), so host-vs-spec agreement is the operative contract.
+    """
+    return int(math.ceil(
+        math.pow(2, num_bits / 2) * math.pow(2, (num_parties - 1) / 2)
+    ))
+
+
+def evaluate_mp(dpf: SpecDpf, num_parties: int, sigma: list[bytes],
+                cw: list[list[int]], x: int) -> int:
+    """Transcription of EvaluateMP (dpf/server.go:110-144) with the
+    framework's two documented divergences applied:
+
+    * γ/δ split by INTENDED precedence — δ = low numBits/2 bits,
+      γ = the remaining high bits (dpf/server.go:116-117 as written
+      degenerates under Go operator precedence: `<<` binds like `*`, so
+      `(mask << numBits / 2)` parses as `(mask << numBits) / 2` and γ is
+      always 0; the path is dead code in Go, keygen panics at
+      dpf/client.go:152-156);
+    * the CTR PRG extension of prf_extended above (the literal Go prf
+      cannot produce more than 4 blocks).
+
+    Everything else — the all-zero-seed slot skip, per-slot XOR of the
+    PRG words then the correction words, little-endian uint32 word reads,
+    the final y[δ] select — follows the Go source line by line
+    (dpf/server.go:119-143).
+    """
+    p2 = 1 << (num_parties - 1)
+    mu = mp_mu(dpf.num_bits, num_parties)
+    num_bits = dpf.num_bits
+
+    delta_bits = num_bits // 2  # Go integer division, numBits/2
+    delta = x & ((1 << delta_bits) - 1)
+    gamma = (x >> delta_bits) & ((1 << (num_bits - delta_bits)) - 1)
+    m_bytes = M_BYTES * mu
+
+    y = [0] * mu
+    for i in range(p2):
+        s = sigma[gamma][i * BLOCK_SIZE:(i + 1) * BLOCK_SIZE]
+        if not any(s):  # all-zero seed slot is skipped (server.go:124-131)
+            continue
+        num_blocks = (m_bytes + BLOCK_SIZE - 1) // BLOCK_SIZE  # ceil
+        out = prf_extended(dpf, bytes(s), num_blocks)
+        for k in range(mu):
+            word = int.from_bytes(out[M_BYTES * k:M_BYTES * (k + 1)], "little")
+            y[k] ^= word
+        for j in range(mu):
+            y[j] ^= cw[i][j]
+    return y[delta]
 
 
 def selection_bit(value: int) -> int:

@@ -188,6 +188,31 @@ def test_multi_party_matches_frozen():
         assert acc[a] == case["b"] and (np.delete(acc, a) == 0).all()
 
 
+def test_multi_party_spec_subset():
+    """go_spec.evaluate_mp (the independent dpf/server.go:110-144
+    transcription) replays the frozen MP values on a sampled point set.
+
+    (Every point of every case was spec-checked at derivation time; CI
+    re-checks a spread of points per key so the committed go_spec.py and
+    fixtures stay in agreement without pure-Python-AES full domains.)"""
+    import go_spec
+
+    for case in DOC["multi_party"]:
+        nb, h = case["num_bits"], 1 << case["num_bits"]
+        num_parties = case["num_parties"]
+        spec = go_spec.SpecDpf(
+            [bytes.fromhex(k) for k in case["prf_keys"]], nb)
+        a = case["a"]
+        xs = sorted({0, 1, a, (a + 1) % h, (a + h // 2) % h, h - 1})
+        for p, kh in enumerate(case["keys"]):
+            key, _ = wire.deserialize_key_mp(memoryview(bytes.fromhex(kh)))
+            sig = [bytes(r) for r in key.sigma]
+            cwl = [[int(w) for w in row] for row in key.cw]
+            for x in xs:
+                v = go_spec.evaluate_mp(spec, num_parties, sig, cwl, x)
+                assert v == case["values"][p][x], (num_parties, p, x)
+
+
 def _golden_db():
     from pir_tpu.database import Database
 

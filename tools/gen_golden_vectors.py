@@ -244,6 +244,20 @@ def main() -> None:
         for v in vals:
             acc ^= v.astype(np.uint32)
         assert acc[a] == 1 and (np.delete(acc, a) == 0).all(), (num_parties, nb)
+        # cross-check EVERY frozen value against go_spec.evaluate_mp — the
+        # independent transcription of dpf/server.go:110-144 (own γ/δ
+        # split, own µ, go_spec's pure-Python AES, the documented CTR
+        # extension re-derived). MP parity is then pinned by two
+        # implementations + frozen data, like 2P (VERDICT r3 item 5).
+        mp_spec = go_spec.SpecDpf(prf_keys, nb)
+        for p_i, mk in enumerate(mkeys):
+            sig = [bytes(r) for r in mk.sigma]
+            cwl = [[int(w) for w in row] for row in mk.cw]
+            sv = np.array(
+                [go_spec.evaluate_mp(mp_spec, num_parties, sig, cwl, int(x))
+                 for x in pts], np.uint32)
+            assert (sv == vals[p_i].astype(np.uint32)).all(), \
+                (num_parties, nb, p_i)
         mp_cases.append({
             "num_parties": num_parties, "num_bits": nb, "a": a, "b": 1,
             "prf_keys": [hexs(k) for k in prf_keys],
