@@ -402,6 +402,60 @@ def tpu_powmod_batch(
     return out
 
 
+def tpu_powmod_batch_multi(
+    bases: list, exps: list, mods: list, e_max: int | None = None,
+    batch_chunk: int = 4096,
+) -> list:
+    """Batched pow(base, exp, mod) with a PER-ROW modulus, one device
+    dispatch per chunk.
+
+    Every kernel above broadcasts the modulus limbs, so carrying n as
+    (B, L) rows (with n_inv as (B, 1)) reuses the exact same traced
+    CIOS/ladder code as the single-modulus path — this is what lets the
+    secret-key CRT split (mod p^s rows next to mod q^s rows, see
+    paillier.SecretKey._powmod_batch_sk) run as ONE dispatch instead of
+    two half-empty ones. All moduli must share one limb count L
+    (limbs_for_modulus rounds to multiples of 16, so balanced CRT halves
+    always do)."""
+    if not (len(bases) == len(exps) == len(mods)):
+        raise ValueError("bases, exps and mods must have equal length")
+    if batch_chunk & (batch_chunk - 1):
+        raise ValueError("batch_chunk must be a power of two")
+    if not bases:
+        return []
+    ctxs = {m: mont_ctx(m) for m in set(mods)}
+    Ls = {c.L for c in ctxs.values()}
+    if len(Ls) != 1:
+        raise ValueError(f"moduli must share one limb count, got {sorted(Ls)}")
+    L = Ls.pop()
+    if e_max is None:
+        e_max = max((e.bit_length() for e in exps), default=1)
+    # 256-bit granularity (not pow2): the sk path's φ-reduced exponents
+    # land just past a power of two (e.g. ~1535 bits), and rounding them
+    # to 2048 would forfeit a quarter of the ladder cut
+    e_max = max(32, -(-e_max // 256) * 256) if e_max > 32 else 32
+    fn = _powmod_batch_jit(e_max)
+
+    out: list = []
+    bc = min(_pow2ceil(len(bases)), batch_chunk)
+    for lo in range(0, len(bases), bc):
+        rows = min(bc, len(bases) - lo)
+        pad = bc - rows
+        cm = list(mods[lo:lo + rows]) + [mods[lo]] * pad
+        cb = [bases[lo + i] % mods[lo + i] for i in range(rows)] + [1] * pad
+        ce = list(exps[lo:lo + rows]) + [0] * pad
+        b = jnp.asarray(ints_to_limbs(cb, L))
+        e = jnp.asarray(pack_exponents(ce, e_max))
+        n = jnp.asarray(np.stack([ctxs[m].n_limbs for m in cm]))
+        n_inv = jnp.asarray(
+            np.array([[ctxs[m].n_inv] for m in cm], np.uint32))
+        one_m = jnp.asarray(np.stack([ctxs[m].one_limbs for m in cm]))
+        r2 = jnp.asarray(np.stack([ctxs[m].r2_limbs for m in cm]))
+        res = np.asarray(fn(b, e, n, n_inv, one_m, r2))
+        out.extend(limbs_to_int(res[i]) % mods[lo + i] for i in range(rows))
+    return out
+
+
 def _powmod_core(bases, exps, n, n_inv, one_mont, r2, e_max: int):
     L = n.shape[-1]
     base_m = mont_mul(bases, r2, n, n_inv)

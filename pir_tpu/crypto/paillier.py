@@ -270,24 +270,17 @@ class PublicKey:
         ys = [proof.responses[i][1] for i in range(reps)]
         if any(not (0 < y < n3) for y in ys):
             return False
-        # independent repetitions batch through the native engine: one
-        # shared window table per common base (ct1 / ct2), threads across
-        # cores (previously 4 serial modexps per repetition)
+        # independent repetitions batch through the engines (previously
+        # 4 serial modexps per repetition); the y^(N^2) and ct^(x^N)
+        # ladders share ONE mod-N^3 call — a 2*reps batch fills the TPU
+        # engine's lanes, and the per-base window-table build the split
+        # common_base calls saved is ~15 of ~2600 ladder products
         es = _powmod_batch(xs, [n] * reps, n2)
-        y_pows = _powmod_batch(ys, [n2] * reps, n3)
-        idx0 = [i for i, b in enumerate(bits) if b == 0]
-        idx1 = [i for i, b in enumerate(bits) if b == 1]
         # bit 0: opening w.r.t. ct2 (T = ct2^(u^N) * v^(N^2));
         # bit 1: opening w.r.t. ct1 (T = ct1^(z^N) * w^(N^2))
-        ct2_pows = _powmod_batch(ct2.c, [es[i] for i in idx0], n3,
-                                 common_base=True)
-        ct1_pows = _powmod_batch(ct1.c, [es[i] for i in idx1], n3,
-                                 common_base=True)
-        want = [0] * reps
-        for k, i in enumerate(idx0):
-            want[i] = ct2_pows[k] * y_pows[i] % n3
-        for k, i in enumerate(idx1):
-            want[i] = ct1_pows[k] * y_pows[i] % n3
+        bases = [ct1.c if bit else ct2.c for bit in bits]
+        pows = _powmod_batch(ys + bases, [n2] * reps + es, n3)
+        want = [cp * yp % n3 for cp, yp in zip(pows[reps:], pows[:reps])]
         return all(w == t_i for w, t_i in zip(want, proof.commitments))
 
 
@@ -303,10 +296,63 @@ class SecretKey(PublicKey):
         self.inv_lam_n2 = pow(self.lam, -1, self.n2)
         self.inv_n_lam = pow(self.n % self.lam, -1, self.lam)
         self.inv_n2_lam = pow((self.n2) % self.lam, -1, self.lam)
+        # CRT constants per level for the sk-side modexp fast path
+        # (_powmod_batch_sk): (p^s, q^s, phi(p^s), phi(q^s), (p^s)^-1 mod q^s)
+        self._crt = {}
+        for s in (1, 2, 3):
+            ps, qs = p**s, q**s
+            self._crt[s] = (ps, qs, ps // p * (p - 1), qs // q * (q - 1),
+                            pow(ps, -1, qs))
 
     @property
     def public_key(self) -> PublicKey:
         return PublicKey(self.n)
+
+    # -- CRT modexp fast path (sk-side only) --
+
+    def _powmod_batch_sk(self, bases, exps, s: int,
+                         common_base: bool = False) -> list:
+        """Batched pow(base, exp, N^s) via the CRT over p^s / q^s with
+        exponents reduced mod φ — knowing the factorization makes every
+        sk-side ladder ~4x cheaper (half-width modulus, shorter
+        exponent). On the TPU engine both halves ride ONE dispatch with
+        per-row moduli (mont_tpu.tpu_powmod_batch_multi). Bit-identical
+        to the plain path: a mathematical identity, not a divergence
+        (pinned engine-vs-engine in tests/test_paillier.py)."""
+        ps, qs, phip, phiq, inv_ps_qs = self._crt[s]
+        blist = [bases] * len(exps) if common_base else list(bases)
+        if any(b % self.p == 0 or b % self.q == 0 for b in blist):
+            # non-unit base (a factor leak; never a well-formed
+            # ciphertext): exponent reduction is invalid, take the
+            # plain single-modulus path
+            return _powmod_batch(bases, exps, ps * qs,
+                                 common_base=common_base)
+        ep = [e % phip for e in exps]
+        eq = [e % phiq for e in exps]
+        if _tpu_modexp and 2 * len(exps) >= _TPU_MODEXP_MIN_BATCH:
+            from .mont_tpu import tpu_powmod_batch_multi
+
+            res = tpu_powmod_batch_multi(
+                [b % ps for b in blist] + [b % qs for b in blist],
+                ep + eq, [ps] * len(exps) + [qs] * len(exps))
+            xps, xqs = res[:len(exps)], res[len(exps):]
+        elif common_base:
+            xps = _powmod_batch(bases % ps, ep, ps, common_base=True)
+            xqs = _powmod_batch(bases % qs, eq, qs, common_base=True)
+        else:
+            xps = _powmod_batch([b % ps for b in blist], ep, ps)
+            xqs = _powmod_batch([b % qs for b in blist], eq, qs)
+        return [xp + ps * ((xq - xp) * inv_ps_qs % qs)
+                for xp, xq in zip(xps, xqs)]
+
+    def _powmod_sk(self, b: int, e: int, s: int) -> int:
+        """Single sk-side pow(b, e, N^s) (CRT; see _powmod_batch_sk)."""
+        ps, qs, phip, phiq, inv_ps_qs = self._crt[s]
+        if b % self.p == 0 or b % self.q == 0:
+            return _powmod(b, e, ps * qs)
+        xp = _powmod(b % ps, e % phip, ps)
+        xq = _powmod(b % qs, e % phiq, qs)
+        return xp + ps * ((xq - xp) * inv_ps_qs % qs)
 
     # -- decryption --
 
@@ -317,7 +363,7 @@ class SecretKey(PublicKey):
             # element); the reference's gmp pipeline decrypts it to 0
             # (db_test.go:159-196 relies on this), so mirror that.
             return 0
-        u = _powmod(ct.c, self.lam, self.n2)
+        u = self._powmod_sk(ct.c, self.lam, 2)
         return (u - 1) // self.n * self.mu1 % self.n
 
     def _dj_log(self, a: int, s: int) -> int:
@@ -345,22 +391,22 @@ class SecretKey(PublicKey):
         assert all(ct.level == ENC_LEVEL_ONE for ct in cts)
         live = [i for i, ct in enumerate(cts) if ct.c != 0]
         out = [0] * len(cts)
-        us = _powmod_batch([cts[i].c for i in live],
-                           [self.lam] * len(live), self.n2)
+        us = self._powmod_batch_sk([cts[i].c for i in live],
+                                   [self.lam] * len(live), 2)
         for i, u in zip(live, us):
             out[i] = (u - 1) // self.n * self.mu1 % self.n
         return out
 
     def decrypt_level2(self, ct: Ciphertext) -> int:
         assert ct.level == ENC_LEVEL_TWO
-        u = _powmod(ct.c, self.lam, self.n3)
+        u = self._powmod_sk(ct.c, self.lam, 3)
         i = self._dj_log(u, 2)
         return i * self.inv_lam_n2 % self.n2
 
     def decrypt_level2_batch(self, cts) -> list:
         assert all(ct.level == ENC_LEVEL_TWO for ct in cts)
-        us = _powmod_batch([ct.c for ct in cts],
-                           [self.lam] * len(cts), self.n3)
+        us = self._powmod_batch_sk([ct.c for ct in cts],
+                                   [self.lam] * len(cts), 3)
         return [self._dj_log(u, 2) * self.inv_lam_n2 % self.n2 for u in us]
 
     def decrypt_nested_layer(self, ct: Ciphertext) -> Ciphertext:
@@ -384,10 +430,10 @@ class SecretKey(PublicKey):
         if ct.level == ENC_LEVEL_ONE:
             m = self.decrypt(ct)
             rn = ct.c * pow(self._g_pow(m, 1), -1, self.n2) % self.n2
-            return _powmod(rn % self.n, self.inv_n_lam, self.n)
+            return self._powmod_sk(rn % self.n, self.inv_n_lam, 1)
         m2 = self.decrypt_level2(ct)
         sn = ct.c * pow(self._g_pow(m2, 2), -1, self.n3) % self.n3
-        return _powmod(sn % self.n, self.inv_n2_lam, self.n)
+        return self._powmod_sk(sn % self.n, self.inv_n2_lam, 1)
 
     # -- nested randomization + DDLEQ prove (aspir.go:156-158) --
 
@@ -395,8 +441,9 @@ class SecretKey(PublicKey):
         assert ct.level == ENC_LEVEL_TWO
         a = self.random_r()
         b = self.random_r()
-        alpha = _powmod(a, self.n, self.n2)
-        c2 = _powmod(ct.c, alpha, self.n3) * _powmod(b, self.n2, self.n3) % self.n3
+        alpha = self._powmod_sk(a, self.n, 2)
+        c2 = (self._powmod_sk(ct.c, alpha, 3)
+              * self._powmod_sk(b, self.n2, 3) % self.n3)
         return Ciphertext(c2, ENC_LEVEL_TWO), a, b
 
     def prove_ddleq(
@@ -405,34 +452,38 @@ class SecretKey(PublicKey):
         """PoK{(a,b): ct2 = ct1^(a^N) * b^(N^2)} — see module docstring.
 
         All `8*secparam` independent repetitions batch their modexps
-        through the native engine (shared window tables for the common
-        bases ct1/ct2/b, threads across cores); previously each
-        repetition ran up to 6 serial CPython modexps.
+        through the sk-side CRT fast path (_powmod_batch_sk: half-width
+        moduli, φ-reduced exponents, and on the TPU engine the p/q
+        halves of BOTH mod-N^3 batches of a phase share one per-row-
+        modulus dispatch); previously each repetition ran up to 6 serial
+        CPython modexps.
         """
         n, n2, n3 = self.n, self.n2, self.n3
         reps = 8 * secparam
-        alpha = _powmod(a, n, n2)
+        alpha = self._powmod_sk(a, n, 2)
         us = [self.random_r() for _ in range(reps)]
         vs = [self.random_r() for _ in range(reps)]
-        es = _powmod_batch(us, [n] * reps, n2)  # u^N mod N^2
-        t_as = _powmod_batch(ct2.c, es, n3, common_base=True)
-        t_bs = _powmod_batch(vs, [n2] * reps, n3)
-        ts = [ta * tb % n3 for ta, tb in zip(t_as, t_bs)]
+        es = self._powmod_batch_sk(us, [n] * reps, 2)  # u^N mod N^2
+        # commitments T_i = ct2^(u^N) * v^(N^2): both mod-N^3 batches
+        # merged into one call (one TPU dispatch for all 4 CRT halves)
+        tabs = self._powmod_batch_sk(
+            [ct2.c] * reps + vs, es + [n2] * reps, 3)
+        ts = [ta * tb % n3 for ta, tb in zip(tabs[:reps], tabs[reps:])]
         bits = _fs_challenge_bits(n, ct1.c, ct2.c, ts, reps)
         idx1 = [i for i, bit in enumerate(bits) if bit == 1]
         # bit 1 openings: T = ct2^(u^N) v^(N^2)
-        #               = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2);
-        # fold the exponent overshoot (alpha*e_u - z^N mod N^2, a
-        # non-negative multiple of N^2) into the N^2-th power part.
+        #               = ct1^(alpha*u^N) b^(N^2 u^N) v^(N^2).
+        # The exponent overshoot alpha*e_u - z^N is an exact non-negative
+        # multiple of N^2 with (au)^N === (au mod N)^N (mod N^2) — expand
+        # (z + kN)^N binomially: every term past z^N carries N^2 — so the
+        # folded multiplier is simply floor(alpha*e_u / N^2); the old
+        # z^N mod N^2 modexp batch cancels out of the algebra entirely.
         zs = [a * us[i] % n for i in idx1]
-        z_pows = _powmod_batch(zs, [n] * len(idx1), n2)
-        b_pows = _powmod_batch(b, [es[i] for i in idx1], n3, common_base=True)
-        deltas = []
-        for k, i in enumerate(idx1):
-            delta = alpha * es[i] - z_pows[k]
-            assert delta >= 0 and delta % n2 == 0
-            deltas.append(delta // n2)
-        ct1_pows = _powmod_batch(ct1.c, deltas, n3, common_base=True)
+        deltas = [alpha * es[i] // n2 for i in idx1]
+        pows = self._powmod_batch_sk(
+            [b] * len(idx1) + [ct1.c] * len(idx1),
+            [es[i] for i in idx1] + deltas, 3)
+        b_pows, ct1_pows = pows[:len(idx1)], pows[len(idx1):]
         responses = []
         k = 0
         for i, bit in enumerate(bits):

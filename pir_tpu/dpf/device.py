@@ -332,8 +332,9 @@ def _block_masks_wide(block: bytes) -> np.ndarray:
 @functools.lru_cache(maxsize=64)
 def _fast_leaf_perm(depth: int, height: int, m_padded: int,
                     n_blk: int = 1) -> np.ndarray:
-    """Natural row -> flat index into the unpacked (8,[n_blk,]16,NW*32)
-    bit tensor (n_blk > 1 = wide leaves, see fast_leaf_bits_flat)."""
+    """Natural row -> flat index into the unpacked (8,16,[n_blk,]NW*32)
+    bit tensor (n_blk > 1 = wide leaves, block-major lanes — see
+    fast_leaf_bits_flat)."""
     nw32 = (m_padded << depth) if depth else m_padded
     r = np.arange(height, dtype=np.int64)
     leaf = r // (128 * n_blk)
@@ -348,7 +349,7 @@ def _fast_leaf_perm(depth: int, height: int, m_padded: int,
     for b in range(depth):
         rev |= ((local >> b) & 1) << (depth - 1 - b)
     pos = rev * m_padded + s
-    return ((bit_k * n_blk + blk) * 16 + byte_i) * nw32 + pos
+    return ((bit_k * 16 + byte_i) * n_blk + blk) * nw32 + pos
 
 
 def make_device_fast_key(
@@ -436,19 +437,28 @@ def fast_leaf_bits_flat(seeds, t_plane, fcw_masks, rk_leaf):
     (index = (bit*16+byte)*NW*32 + leafpos).
 
     Wide leaves (fcw_masks (8,n_blk,16,1)): each leaf seed CTR-extends
-    into n_blk MMO blocks (one bitsliced AES over the (8,n_blk,16,NW)
-    stack — full lanes); bits come out in storage order
-    (index = ((bit*n_blk + blk)*16 + byte)*NW*32 + leafpos)."""
+    into n_blk MMO blocks, block-MAJOR along lanes (one bitsliced AES
+    over an (8, 16, n_blk*NW) state — lane extent n_blk*NW instead of
+    the leaves/32 words that shrink with leaf width); bits come out in
+    storage order (index = ((bit*16 + byte)*n_blk + blk)*NW*32 +
+    leafpos), matching _fast_leaf_perm/_fast_leaf_perm_root."""
     if fcw_masks.ndim == 4:  # wide leaf
-        ctr = jnp.asarray(_leaf_ctr_masks(fcw_masks.shape[1]))
-        x = seeds[:, None, :, :] ^ ctr  # (8, n_blk, 16, NW)
-        enc = aes_encrypt_planes(x, rk_leaf[:, :, None])
-        out = (enc ^ x) ^ (t_plane[None, None, None, :] & fcw_masks)
+        n_blk = fcw_masks.shape[1]
+        nw = seeds.shape[-1]
+        ctr = jnp.asarray(_leaf_ctr_masks(n_blk))
+        x = jnp.concatenate(
+            [seeds ^ ctr[:, b] for b in range(n_blk)], axis=-1)
+        enc = aes_encrypt_planes(x, rk_leaf)
+        tt = jnp.concatenate([t_plane] * n_blk, axis=-1)
+        fcw = jnp.concatenate(
+            [jnp.broadcast_to(fcw_masks[:, b], (8, 16, nw))
+             for b in range(n_blk)], axis=-1)
+        out = (enc ^ x) ^ (tt[None, None, :] & fcw)
     else:
         enc = aes_encrypt_planes(seeds, rk_leaf)
         out = (enc ^ seeds) ^ (t_plane[None, None, :] & fcw_masks)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,[n_blk,]16,NW,32)
+    bits = (out[..., None] >> shifts) & jnp.uint32(1)  # (8,16,NW',32)
     return bits.reshape(-1).astype(jnp.uint8)
 
 
@@ -580,10 +590,11 @@ def expand_planes_from_root(seeds, t_plane, cw_seed_masks, cw_tl, cw_tr,
 def _fast_leaf_perm_root(depth: int, height: int, n_blk: int = 1) -> np.ndarray:
     """Natural row -> flat bit index for root-start expansion.
 
-    flat index = ((bit*n_blk + blk)*16 + byte) * 2^depth
+    flat index = ((bit*16 + byte)*n_blk + blk) * 2^depth
                  + bit_reverse(leaf, depth),
     where each leaf covers 128*n_blk rows (blk = CTR block within the
-    leaf); n_blk = 1 is the classic 128-row-leaf layout.
+    leaf, block-MAJOR along lanes — see fast_leaf_bits_flat); n_blk = 1
+    is the classic 128-row-leaf layout.
     """
     r = np.arange(height, dtype=np.int64)
     leaf = r // (128 * n_blk)
@@ -595,7 +606,7 @@ def _fast_leaf_perm_root(depth: int, height: int, n_blk: int = 1) -> np.ndarray:
     rev = np.zeros_like(leaf)
     for b in range(depth):
         rev |= ((leaf >> b) & 1) << (depth - 1 - b)
-    return ((bit_k * n_blk + blk) * 16 + byte_i) * (1 << depth) + rev
+    return ((bit_k * 16 + byte_i) * n_blk + blk) * (1 << depth) + rev
 
 
 @dataclass(frozen=True)
@@ -800,13 +811,19 @@ def expand_fast_root_lanes_full(payloads, layout: FastRootLayout, rk_masks,
     if layout.leaf_blocks > 1:  # wide leaf (see fast_leaf_bits_flat)
         n_blk = layout.leaf_blocks
         ctr = jnp.asarray(_leaf_ctr_masks(n_blk))  # (8,n_blk,16,1)
-        fcw_t = jnp.transpose(fcw, (1, 2, 3, 0))  # (8,n_blk,16,Q)
+        # block-major lanes: flat lane = blk*(NWf*Q) + word*Q + q, the
+        # same (blk, word) order the Pallas tail emits per query
+        x = jnp.concatenate(
+            [seeds ^ ctr[:, b] for b in range(n_blk)], axis=-1)
+        enc = aes_encrypt_planes(x, rk_leaf)
+        fcw_t = jnp.transpose(fcw, (2, 1, 3, 0))  # (n_blk,8,16,Q)
         if nwf > 1:
             fcw_t = jnp.tile(fcw_t, (1, 1, 1, nwf))
-        x = seeds[:, None, :, :] ^ ctr  # (8,n_blk,16,NWf*Q)
-        enc = aes_encrypt_planes(x, rk_leaf[:, :, None])
-        out = (enc ^ x) ^ (t[None, None, None, :] & fcw_t)
-        return out.reshape(8, n_blk, 16, nwf, q_n).transpose(4, 0, 1, 2, 3)
+        fcw_w = jnp.concatenate([fcw_t[b] for b in range(n_blk)], axis=-1)
+        tt = jnp.concatenate([t] * n_blk, axis=-1)
+        out = (enc ^ x) ^ (tt[None, None, :] & fcw_w)
+        return jnp.transpose(
+            out.reshape(8, 16, n_blk * nwf, q_n), (3, 0, 1, 2))
     fcw_t = jnp.transpose(fcw, (1, 2, 0))  # (8,16,Q)
     if nwf > 1:
         fcw_t = jnp.tile(fcw_t, (1, 1, nwf))

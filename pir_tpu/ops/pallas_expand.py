@@ -114,13 +114,23 @@ def _tail_kernel(levels: int, shared_rk: bool = False, leaf_blocks: int = 1):
             t = jnp.concatenate([t_l, t_r], axis=-1)
         rkl = rkl_ref[...] if shared_rk else rkl_ref[0]
         if leaf_blocks > 1:
-            # wide leaf: CTR-extend every leaf seed into n_blk MMO blocks
-            # in ONE bitsliced AES over the (8, n_blk, 16, NW) stack —
-            # the block axis sits where the PRF-slot axis does in the
-            # tree walk, so lanes stay full (dpf/host.py wide-leaf note)
-            x = seeds[:, None] ^ ctr_ref[...]  # (8, n_blk, 16, NW)
-            prg = _aes_encrypt_roll(x, rkl[:, :, None]) ^ x
-            out_ref[0] = prg ^ (t[None, None] & fcw_ref[0])
+            # wide leaf, block-MAJOR lanes: CTR block b of every leaf sits
+            # at lane range [b*NW, (b+1)*NW), so the ONE bitsliced AES
+            # runs on an (8, 16, n_blk*NW) state with full 128-lane tiles.
+            # (The first cut stacked blocks on their own axis, keeping the
+            # lane extent at NW = leaves/32 — which SHRINKS with leaf
+            # width; the r4 on-chip sweep measured that layout slower
+            # than 128-bit leaves despite 3x less AES.)
+            nw = seeds.shape[-1]
+            x = jnp.concatenate(
+                [seeds ^ ctr_ref[:, b] for b in range(leaf_blocks)],
+                axis=-1)  # (8, 16, n_blk*NW)
+            prg = _aes_encrypt_roll(x, rkl) ^ x
+            tt = jnp.concatenate([t] * leaf_blocks, axis=-1)
+            fcw = jnp.concatenate(
+                [jnp.broadcast_to(fcw_ref[0, :, b], (8, 16, nw))
+                 for b in range(leaf_blocks)], axis=-1)
+            out_ref[0] = prg ^ (tt[None] & fcw)
         else:
             prg = _aes_encrypt_roll(seeds, rkl) ^ seeds  # leaf MMO
             out_ref[0] = prg ^ (t[None] & fcw_ref[0])
@@ -299,7 +309,8 @@ def fast_tail_expand_pallas(
     rk_leaf (Q,11,8,16,1) or (11,8,16,1)
     -> (Q,8,16,NW0 << levels) packed leaf-output words (storage order,
     same convention as dpf.device.fast_leaf_bits_flat pre-unpack), or
-    (Q,8,n_blk,16,NW0 << levels) for wide leaves.
+    (Q,8,16,n_blk * (NW0 << levels)) for wide leaves (block-major
+    lanes: lane = blk * NWf + word).
     """
     shared_rk = rk.ndim == 5
     n_blk = fcw.shape[2] if fcw.ndim == 5 else 1
@@ -360,10 +371,11 @@ def fast_tail_expand_pallas(
                          memory_space=pltpu.VMEM)
         )
         args.append(jnp.asarray(_leaf_ctr_masks(n_blk)))
-        out_specs = pl.BlockSpec((1, 8, n_blk, 16, nwf),
-                                 lambda i: (i, 0, 0, 0, 0),
+        # block-major lanes: lane = blk * nwf + word (see _tail_kernel)
+        out_specs = pl.BlockSpec((1, 8, 16, n_blk * nwf),
+                                 lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((q, 8, n_blk, 16, nwf), jnp.uint32)
+        out_shape = jax.ShapeDtypeStruct((q, 8, 16, n_blk * nwf), jnp.uint32)
     else:
         out_specs = pl.BlockSpec((1, 8, 16, nwf), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)

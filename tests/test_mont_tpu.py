@@ -321,3 +321,22 @@ def test_cpir_doubly_encrypted_tpu_engine_end_to_end():
     got_py = enc.recover_doubly_encrypted(res_py, sk)
     assert [s.data for s in got_tpu] == [s.data for s in got_py]
     assert any(s.data == db.slot(index).data for s in got_tpu)
+
+
+def test_tpu_powmod_batch_multi_mixed_moduli():
+    """Per-row-modulus batched modexp (the one-dispatch CRT split of
+    paillier.SecretKey._powmod_batch_sk) vs CPython pow, with an odd
+    batch length to exercise the in-chunk padding rows."""
+    import secrets
+
+    from pir_tpu.crypto.mont_tpu import tpu_powmod_batch_multi
+
+    rng = secrets.SystemRandom(0)
+    m1 = rng.randrange(1 << 299, 1 << 300) | 1
+    m2 = rng.randrange(1 << 290, 1 << 291) | 1
+    mods = [m1, m2, m1, m2, m1, m2, m1]
+    bases = [rng.randrange(1, m) for m in mods]
+    exps = [0, 1, rng.randrange(1 << 200), rng.randrange(1 << 300),
+            2, 3, rng.randrange(1 << 100)]
+    got = tpu_powmod_batch_multi(bases, exps, mods)
+    assert got == [pow(b, e, m) for b, e, m in zip(bases, exps, mods)]

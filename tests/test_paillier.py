@@ -109,3 +109,50 @@ def test_ddleq_rejects_wrong_rerandomization(keys):
     # tamper with one commitment
     proof.commitments[0] = (proof.commitments[0] * 2) % pk.n3
     assert not pk.verify_ddleq(ct1, ct2, proof)
+
+
+def test_sk_crt_powmod_bit_identical(keys):
+    """_powmod_batch_sk / _powmod_sk (the CRT fast path behind every
+    sk-side decryption and DDLEQ prove batch) must equal plain
+    pow(b, e, N^s) bit for bit — it is a mathematical identity
+    (CRT + exponent reduction mod phi for unit bases), not an
+    approximation."""
+    sk, pk = keys
+    rng = secrets.SystemRandom(0)
+    for s in (1, 2, 3):
+        m = sk.n ** s
+        phi = sk._crt[s][2] * sk._crt[s][3]
+        bases = [rng.randrange(1, m) | 1 for _ in range(5)]
+        exps = [1, 2, sk.lam, phi + 3, rng.randrange(m)]
+        want = [pow(b, e, m) for b, e in zip(bases, exps)]
+        assert sk._powmod_batch_sk(bases, exps, s) == want
+        assert [sk._powmod_sk(b, e, s)
+                for b, e in zip(bases, exps)] == want
+        # common base (the DDLEQ ct1/ct2/b ladders)
+        cb = bases[0]
+        assert sk._powmod_batch_sk(cb, exps, s, common_base=True) == [
+            pow(cb, e, m) for e in exps]
+    # non-unit base falls back to the plain path (exponent reduction
+    # would be invalid there)
+    assert sk._powmod_sk(sk.p, 5, 2) == pow(sk.p, 5, sk.n2)
+    assert sk._powmod_batch_sk([sk.q, 3], [4, 5], 2) == [
+        pow(sk.q, 4, sk.n2), pow(3, 5, sk.n2)]
+
+
+def test_ddleq_prove_delta_identity(keys):
+    """The prove-side folded exponent floor(alpha*e/N^2) must equal the
+    old (alpha*e - z^N mod N^2) / N^2 form for random (a, u) — the
+    binomial identity (au)^N === (au mod N)^N (mod N^2) the z^N batch
+    removal relies on."""
+    sk, pk = keys
+    n, n2 = sk.n, sk.n2
+    rng = secrets.SystemRandom(0)
+    for _ in range(8):
+        a = rng.randrange(1, n)
+        u = rng.randrange(1, n)
+        alpha = pow(a, n, n2)
+        e = pow(u, n, n2)
+        z = a * u % n
+        delta_old = alpha * e - pow(z, n, n2)
+        assert delta_old >= 0 and delta_old % n2 == 0
+        assert alpha * e // n2 == delta_old // n2
