@@ -508,6 +508,7 @@ def worker():
             from pir_tpu.dpf.device import make_fast_payload_batch
             from pir_tpu.models.pipeline import (
                 fused_fast_root_batch_pallas_fn,
+                fused_fast_root_batch_stacked_fn,
             )
             from pir_tpu.utils import pad_tile
 
@@ -521,11 +522,19 @@ def worker():
                 leaf_bits=leaf_bits)[0]
             qs = pad_tile([single], server.mxu_batch_threshold)
             pay, lay = make_fast_payload_batch(qs)
-            dfn = fused_fast_root_batch_pallas_fn(
-                lay, tail_levels=server.pallas_tail_levels,
-                interpret=jax.default_backend() != "tpu")
-            tbl = server._root_table_u8(1, lay.depth,
-                                        getattr(lay, "leaf_blocks", 1))
+            interp = jax.default_backend() != "tpu"
+            if server.fast_stacked and getattr(lay, "shared_rk", False):
+                # the serving path: stacked tail kernel + chunk-major table
+                dfn = fused_fast_root_batch_stacked_fn(lay, interpret=interp)
+                tbl = server._root_table_u8(
+                    1, lay.depth, getattr(lay, "leaf_blocks", 1),
+                    stacked=True)
+            else:
+                dfn = fused_fast_root_batch_pallas_fn(
+                    lay, tail_levels=server.pallas_tail_levels,
+                    interpret=interp)
+                tbl = server._root_table_u8(1, lay.depth,
+                                            getattr(lay, "leaf_blocks", 1))
             pay_dev = jnp.asarray(pay)
             nul = jax.jit(lambda t: t[:8, :8] + jnp.uint8(1))
             t0 = time.perf_counter()

@@ -136,6 +136,27 @@ def main():
     t_null = timeit(null_fn, table, reps=5, label="null op (relay floor)")
     t_full = timeit(full_fn, table, pay_dev, label="full answer (expand+scan)")
     t_tiny = timeit(full_fn, tiny, pay_dev, label="expansion + 128B-wide scan")
+
+    # stacked tail path (the serving default since r4): same split
+    t_full_st = t_tiny_st = None
+    if os.environ.get("ROOF_STACKED", "1") == "1" and \
+            getattr(layout, "shared_rk", False):
+        from pir_tpu.models.pipeline import (
+            fused_fast_root_batch_stacked_fn,
+            stacked_fast_geometry,
+        )
+
+        k_st, tail_st = stacked_fast_geometry(d, layout.leaf_blocks)
+        st_fn = fused_fast_root_batch_stacked_fn(layout, interpret=not on_tpu)
+        st_table = server._root_table_u8(1, d, layout.leaf_blocks,
+                                         stacked=True)
+        t_full_st = timeit(st_fn, st_table, pay_dev,
+                           label=f"full answer STACKED (k={k_st}, "
+                                 f"tail={tail_st})")
+        t_tiny_st = timeit(st_fn, tiny, pay_dev,
+                           label="STACKED expansion + 128B-wide scan")
+        log(f"stacked vs per-query full: {t_full_st*1e3:.1f} vs "
+            f"{t_full*1e3:.1f} ms")
     if batch > _SCAN_Q_VMEM:  # serving path scans in Q-slices; time them all
         n_sl = -(-batch // _SCAN_Q_VMEM)
         t_scan = sum(
@@ -185,6 +206,11 @@ def main():
         "scan_ms": round(t_scan_a * 1e3, 1),
         "null_ms": round(t_null * 1e3, 1),
         "roof_floor_ms": round(t_roof * 1e3, 1),
+        **({"stacked_full_ms": round((t_full_st - t_null) * 1e3, 1),
+            "stacked_expansion_ms": round(
+                max(t_tiny_st - t_null - t_scan_a * (128 / b), 1e-9) * 1e3,
+                1)}
+           if t_full_st is not None else {}),
     }), flush=True)
 
 

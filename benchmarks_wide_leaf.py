@@ -162,12 +162,21 @@ def main():
                 from pir_tpu.dpf.device import make_fast_payload_batch
                 from pir_tpu.models.pipeline import (
                     fused_fast_root_batch_pallas_fn,
+                    fused_fast_root_batch_stacked_fn,
                 )
 
                 pay, layout = make_fast_payload_batch(sa)
-                table = server._root_table_u8(1, depth, lb // 128)
-                fn = fused_fast_root_batch_pallas_fn(
-                    layout, tail_levels=tail, interpret=not on_tpu)
+                if server.fast_stacked and getattr(layout, "shared_rk",
+                                                   False):
+                    # the serving path since r4: stacked tail kernel
+                    table = server._root_table_u8(1, depth, lb // 128,
+                                                  stacked=True)
+                    fn = fused_fast_root_batch_stacked_fn(
+                        layout, interpret=not on_tpu)
+                else:
+                    table = server._root_table_u8(1, depth, lb // 128)
+                    fn = fused_fast_root_batch_pallas_fn(
+                        layout, tail_levels=tail, interpret=not on_tpu)
                 pay_dev = jnp.asarray(pay)
                 null_fn = jax.jit(lambda t: t[:8, :8] + jnp.uint8(1))
                 t_null = min(

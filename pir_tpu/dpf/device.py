@@ -790,6 +790,82 @@ def expand_root_head_lanes(payloads, layout: FastRootLayout, rk_masks,
     return seeds, t, cw_s_tail, cw_tl_tail, cw_tr_tail, fcw[..., None]
 
 
+def expand_root_head_grouped(payloads, layout: FastRootLayout, rk_masks,
+                             head_levels: int, k: int):
+    """Batch-shared-key root head regrouped for the STACKED tail kernel
+    (ops/pallas_expand.fast_tail_expand_stacked_pallas): k queries per
+    grid step, lane-packed query-major (lane = j*NW0 + w).
+
+    Returns seeds (S,8,1,16,W), t (S,1,1,W), cw_s (S,tail,8,16,W),
+    cw_tl/cw_tr (S,tail,1,W), fcw (S,8,n_blk,16,W), with S = Q // k and
+    W = k * NW0. Q must be a multiple of k (callers pad payload rows).
+    """
+    q_n = payloads.shape[0]
+    if q_n % k:
+        raise ValueError(f"batch {q_n} not a multiple of group {k}")
+    s_n = q_n // k
+    seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+        payloads, layout)
+    for i in range(head_levels):
+        w = max(1, (1 << i) // 32)
+        seeds, t = _expand_root_level_lanes(
+            seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
+    nw0 = max(1, (1 << head_levels) // 32)
+    wl = k * nw0
+    # head layout is word-major (flat = w*Q + q); regroup to per-step
+    # query-major lanes (lane = j*NW0 + w)
+    seeds = seeds.reshape(8, 16, nw0, s_n, k).transpose(3, 0, 1, 4, 2)
+    seeds = seeds.reshape(s_n, 8, 1, 16, wl)
+    t = t.reshape(nw0, s_n, k).transpose(1, 2, 0).reshape(s_n, 1, 1, wl)
+    tail = layout.depth - head_levels
+    cw_t = cw_s[head_levels:].reshape(tail, 8, 16, s_n, k)
+    cw_t = jnp.broadcast_to(cw_t[..., None], (tail, 8, 16, s_n, k, nw0))
+    cw_t = cw_t.reshape(tail, 8, 16, s_n, wl).transpose(3, 0, 1, 2, 4)
+    def _tbits(cw):
+        c = cw[head_levels:].reshape(tail, s_n, k)
+        c = jnp.broadcast_to(c[..., None], (tail, s_n, k, nw0))
+        return c.reshape(tail, s_n, 1, wl).transpose(1, 0, 2, 3)
+    cw_tl_t, cw_tr_t = _tbits(cw_tl), _tbits(cw_tr)
+    n_blk = layout.leaf_blocks
+    if n_blk > 1:  # (Q, 8, n_blk, 16)
+        fg = fcw.reshape(s_n, k, 8, n_blk, 16).transpose(0, 2, 3, 4, 1)
+    else:  # (Q, 8, 16)
+        fg = fcw.reshape(s_n, k, 8, 16).transpose(0, 2, 3, 1)[:, :, None]
+    fg = jnp.broadcast_to(fg[..., None], (s_n, 8, n_blk, 16, k, nw0))
+    fg = fg.reshape(s_n, 8, n_blk, 16, wl)
+    return seeds, t, cw_t, cw_tl_t, cw_tr_t, fg
+
+
+@functools.lru_cache(maxsize=64)
+def _fast_leaf_perm_root_stacked(depth: int, height: int, n_blk: int,
+                                 tail: int) -> np.ndarray:
+    """Natural row -> flat bit index for the STACKED root-start path.
+
+    The stacked tail kernel doubles branches on a leading chunk axis
+    (new_chunk = parent*2 + branch, MSB-first walk), so a leaf's chunk
+    index is its low `tail` bits VERBATIM while the head part keeps the
+    lane-doubling bit reversal over the top `head` bits:
+
+      flat = ((bit*2^tail*n_blk + (leaf mod 2^tail)*n_blk + blk) * 16
+              + byte) * 2^head + bit_reverse(leaf >> tail, head)
+    """
+    head = depth - tail
+    r = np.arange(height, dtype=np.int64)
+    leaf = r // (128 * n_blk)
+    within = r % (128 * n_blk)
+    blk = within >> 7
+    wb = within & 127
+    byte_i = wb >> 3
+    bit_k = wb & 7
+    top = leaf >> tail
+    c = leaf & ((1 << tail) - 1)
+    rev = np.zeros_like(top)
+    for b in range(head):
+        rev |= ((top >> b) & 1) << (head - 1 - b)
+    return (((bit_k << tail) * n_blk + c * n_blk + blk) * 16
+            + byte_i) * (1 << head) + rev
+
+
 def expand_fast_root_lanes_full(payloads, layout: FastRootLayout, rk_masks,
                                 rk_leaf):
     """All-XLA fast expansion with Q in lanes: (Q, total) payloads ->

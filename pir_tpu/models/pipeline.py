@@ -461,6 +461,94 @@ def fused_fast_root_batch_pallas_fn(layout, block_rows: int = 2048,
     return jax.jit(fn)
 
 
+def stacked_fast_geometry(depth: int, n_blk: int) -> tuple[int, int]:
+    """(k queries per grid step, tail levels) for the stacked fast tail
+    (ops/pallas_expand.fast_tail_expand_stacked_pallas).
+
+    k is the largest power of two <= 16 keeping the per-step leaf state
+    (k * flat_rows bits, ~k * flat_rows/8 bytes each for the x/out
+    blocks) at a few MB of VMEM; the head/tail split then targets
+    W = k * NW0 = 128 lane words — full (16, 128) tiles at every kernel
+    level, which is the whole point of the stacked scheme.
+    """
+    flat_rows = (128 * n_blk) << depth
+    k = max(1, min(16, (1 << 24) // flat_rows))
+    k = 1 << (k.bit_length() - 1)
+    head = min(depth, 5 + (128 // k).bit_length() - 1)
+    return k, depth - head
+
+
+@functools.lru_cache(maxsize=64)
+def fused_fast_root_batch_stacked_fn(layout, block_rows: int = 2048,
+                                     block_cols: int = 512,
+                                     interpret: bool = False):
+    """Root-start batched fast answers via the STACKED tail kernel: k
+    lane-packed queries per grid step with branches doubling on a
+    leading chunk axis — work-proportional (full-tile) AES at every tree
+    level, unlike the per-query tail whose sub-128-word levels are
+    tile-bound (the r4 sweep measured depth 13/10/9 within 6% despite a
+    3x AES spread; see ops/pallas_expand._fast_stack_kernel).
+
+    Requires the batch-shared key layout and a STACKED storage-ordered
+    table (server._root_table_u8 with stacked=True — the chunk-major
+    flat order differs from the classic bit-reversal one).
+
+    jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8.
+    """
+    from ..dpf.device import (
+        _leaf_ctr_masks,
+        expand_root_head_grouped,
+        unpack_fast_root_payload,
+    )
+    from ..ops.pallas_expand import fast_tail_expand_stacked_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
+
+    if not getattr(layout, "shared_rk", False):
+        raise ValueError("stacked root path needs the batch-shared key layout")
+    depth = layout.depth
+    n_blk = layout.leaf_blocks
+    k, tail = stacked_fast_geometry(depth, n_blk)
+    head_levels = depth - tail
+    nw0 = max(1, (1 << head_levels) // 32)
+
+    def fn(table_u8, payloads):
+        q = payloads.shape[0]
+        qp = -(-q // k) * k
+        if qp != q:  # pad to the step group; sliced back before return
+            payloads = jnp.concatenate(
+                [payloads, jnp.tile(payloads[:1], (qp - q, 1))])
+        _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+            payloads[0], layout)
+        seeds, t, cw_s, cw_tl, cw_tr, fcw = expand_root_head_grouped(
+            payloads, layout, rk, head_levels, k)
+        packed = fast_tail_expand_stacked_pallas(
+            seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
+            jnp.asarray(_leaf_ctr_masks(n_blk)),
+            tail=tail, n_blk=n_blk, interpret=interpret,
+        )  # (S, 8, BN, 16, W); lanes query-major (j*NW0 + w)
+        s_n, _, bn, _, _ = packed.shape
+        words = packed.reshape(s_n, 8, bn, 16, k, nw0)
+        words = words.transpose(0, 4, 1, 2, 3, 5).reshape(qp, -1)
+        rows, b = table_u8.shape
+        flat = words.shape[1] * 32
+        if rows > flat:
+            words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
+        q_vmem = _SCAN_Q_VMEM
+        outs = []
+        for s in range(0, qp, q_vmem):
+            wc = words[s:s + q_vmem]
+            br, bc = scan_tile_sizes(wc.shape[0], rows, b,
+                                     max_br=block_rows, max_bc=block_cols)
+            outs.append(mxu_batched_scan_packed_pallas(
+                table_u8, wc.T, block_rows=br, block_cols=bc,
+                interpret=interpret,
+            ))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out[:q]
+
+    return jax.jit(fn)
+
+
 def _compat_skip_walk(seeds, t, cw_s, cw_tl, cw_tr, rk, skip: int):
     """Walk `skip` dead leading levels keeping only the left child.
 

@@ -206,6 +206,109 @@ def _varint_parity_packed(seeds, t, fcw_mask):
     return ~((parity & ~allcont) ^ (t & fcw_mask))
 
 
+def _fast_stack_kernel(tail: int, n_blk: int):
+    """Stacked fast tail: k lane-packed queries per grid step.
+
+    The per-query tail kernel above is TILE-bound below 128 lane words:
+    a tree level at NW words costs one full (16, 128) tile per gate op
+    regardless of NW, so cutting tree AES (wide leaves) bought nothing —
+    the r4 sweep measured depth 13 / 10 / 9 within 6% of each other.
+    This kernel adopts the compat cascade's stacking scheme for the fast
+    tail: branches double on a LEADING chunk axis while the lane axis
+    holds k queries' words (W = k*NW0, sized to full tiles), so every
+    gate op is work-proportional at every level and per-grid-step
+    overhead amortizes over k queries.
+
+    Chunk order is new_chunk = parent*2 + branch (MSB-first walk), so a
+    final chunk index c equals the leaf's low `tail` bits — the storage
+    perm (_fast_leaf_perm_root_stacked) stays a closed form.
+
+    The leaf CTR blocks stack on the same leading axis (block-minor:
+    chunk = c*n_blk + b); n_blk = 1 degenerates to the classic leaf with
+    a zero CTR mask, so both widths share this one code path.
+    """
+    def kernel(seeds_ref, t_ref, cw_s_ref, cw_tl_ref, cw_tr_ref, rk_ref,
+               fcw_ref, rkl_ref, ctr_ref, out_ref):
+        seeds = seeds_ref[0]  # (8, 1, 16, W)
+        t = t_ref[0]  # (1, 1, W)
+        rk = rk_ref[...][:, :, None]  # (11, 8, 1, 3, 16, 1)
+        for l in range(tail):
+            seeds, t = _stack_level(
+                seeds, t, cw_s_ref[0, l], cw_tl_ref[0, l], cw_tr_ref[0, l],
+                rk,
+            )
+        b_ch, w = seeds.shape[1], seeds.shape[-1]
+        ctr = ctr_ref[...]
+        x = seeds[:, :, None] ^ ctr[:, None]  # (8, B, n_blk, 16, W)
+        x = x.reshape(8, b_ch * n_blk, 16, w)
+        rkl = rkl_ref[...]
+        prg = _aes_encrypt_roll(x, rkl[:, :, None]) ^ x
+        fcw = jnp.broadcast_to(
+            fcw_ref[0][:, None], (8, b_ch, n_blk, 16, w)
+        ).reshape(8, b_ch * n_blk, 16, w)
+        tb = jnp.broadcast_to(
+            t[:, None], (b_ch, n_blk, 1, w)
+        ).reshape(b_ch * n_blk, 1, w)
+        out_ref[0] = prg ^ (tb[None] & fcw)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tail", "n_blk", "interpret")
+)
+def fast_tail_expand_stacked_pallas(
+    seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf, ctr, *,
+    tail: int, n_blk: int, interpret: bool = False,
+):
+    """Stacked tail walk + leaf PRG, k queries per grid step.
+
+    seeds (S,8,1,16,W), t (S,1,1,W), cw_s (S,tail,8,16,W),
+    cw_tl/cw_tr (S,tail,1,W), rk (11,8,3,16,1) batch-shared,
+    fcw (S,8,n_blk,16,W), rk_leaf (11,8,16,1), ctr (8,n_blk,16,1)
+    -> (S, 8, 2^tail * n_blk, 16, W) leaf-output words; per query j
+    (lane group j*NW0..) flat word order = (bit, chunk, byte, word),
+    chunk = (leaf low bits)*n_blk + CTR block.
+    """
+    s_n, _, _, _, w = seeds.shape
+    lv = max(tail, 1)
+    if tail == 0:
+        cw_s = jnp.zeros((s_n, 1, 8, 16, w), jnp.uint32)
+        cw_tl = jnp.zeros((s_n, 1, 1, w), jnp.uint32)
+        cw_tr = jnp.zeros((s_n, 1, 1, w), jnp.uint32)
+    bn = (1 << tail) * n_blk
+    in_specs = [
+        pl.BlockSpec((1, 8, 1, 16, w), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, w), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 8, 16, w), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 1, w), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lv, 1, w), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((11, 8, 3, 16, 1), lambda i: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, n_blk, 16, w), lambda i: (i, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((11, 8, 16, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, n_blk, 16, 1), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        _fast_stack_kernel(tail, n_blk),
+        grid=(s_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, bn, 16, w),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_n, 8, bn, 16, w), jnp.uint32),
+        interpret=interpret,
+    )(seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf, ctr)
+
+
 def _compat_stage_kernel(tail: int, emit_bits: bool):
     def kernel(seeds_ref, t_ref, cw_s_ref, cw_tl_ref, cw_tr_ref, rk_ref,
                *rest):

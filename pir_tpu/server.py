@@ -215,7 +215,8 @@ class TpuPirServer:
                  compat_pallas_max_tail: int = 3,
                  compat_pallas_q_chunk: int = 16,
                  compat_pallas_batch_cap: int = 1024,
-                 fast_nonshared_chunk: int = 1024):
+                 fast_nonshared_chunk: int = 1024,
+                 fast_stacked: bool = True):
         self.db = db
         self.min_device_nodes = min_device_nodes
         self.mxu_batch_threshold = mxu_batch_threshold
@@ -252,6 +253,13 @@ class TpuPirServer:
         # chunks of this size; same-key batches (batch keygen) share one
         # mask expansion and run whole.
         self.fast_nonshared_chunk = fast_nonshared_chunk
+        # batch-shared-key fast batches route through the STACKED tail
+        # kernel (k queries per grid step, branches on a leading chunk
+        # axis — full-tile AES at every level; see
+        # models/pipeline.fused_fast_root_batch_stacked_fn). Distinct-key
+        # batches keep the per-query tail (per-query round keys don't
+        # lane-pack). False = per-query tail for everything (A/B).
+        self.fast_stacked = fast_stacked
         self._plane_tables: dict[int, object] = {}
         self._storage_cache: dict[tuple, tuple] = {}
         self._tables: dict[int, tuple] = {}
@@ -376,16 +384,28 @@ class TpuPirServer:
             ("compat_u8", group_size, device_bits, w, tails), build
         )
 
-    def _root_table_u8(self, group_size: int, depth: int, n_blk: int = 1):
+    def _root_table_u8(self, group_size: int, depth: int, n_blk: int = 1,
+                       stacked: bool = False):
         """Storage-ordered raw u8 table for the gather-free streaming MXU
         fast path (1 GiB+ tables where the plane table is over budget).
-        ``n_blk`` = leaf width in 128-bit blocks (wide-leaf fast keys)."""
+        ``n_blk`` = leaf width in 128-bit blocks (wide-leaf fast keys);
+        ``stacked`` = the chunk-major flat order of the stacked tail
+        kernel (models/pipeline.fused_fast_root_batch_stacked_fn)."""
+        if stacked:
+            from .models.pipeline import stacked_fast_geometry
+
+            tail = stacked_fast_geometry(depth, n_blk)[1]
+            key = ("root_u8s", group_size, depth, n_blk, tail)
+        else:
+            tail = None
+            key = ("root_u8", group_size, depth, n_blk)
 
         def build():
             import jax.numpy as jnp
 
             from .dpf.device import (
                 _fast_leaf_perm_root,
+                _fast_leaf_perm_root_stacked,
                 scatter_rows_to_storage_order,
             )
             from .ops.matmul_scan import pad_rows_u8
@@ -393,14 +413,13 @@ class TpuPirServer:
             h = self.db.db_size // group_size
             row_bytes = group_size * self.db.slot_bytes
             flat = (128 * n_blk) << depth
-            perm = _fast_leaf_perm_root(depth, h, n_blk)
+            perm = (_fast_leaf_perm_root_stacked(depth, h, n_blk, tail)
+                    if stacked else _fast_leaf_perm_root(depth, h, n_blk))
             rows = self.db.data[: h * group_size].reshape(h, row_bytes)
             sc = scatter_rows_to_storage_order(rows, perm, flat)
             return jnp.asarray(pad_rows_u8(sc, self.mxu_block))
 
-        return self._cached(
-            self._storage_cache, ("root_u8", group_size, depth, n_blk), build
-        )
+        return self._cached(self._storage_cache, key, build)
 
     def _storage_tables(self, group_size: int, dkey):
         """Storage-ordered tables for the gather-free fast path: returns
@@ -551,6 +570,14 @@ class TpuPirServer:
                     continue
                 if kind == "root_u8":
                     perm = _fast_leaf_perm_root(key[2], h, key[3])
+                    self._storage_cache[key] = patched(
+                        val, perm[r], raw_rows(g, r)
+                    )
+                elif kind == "root_u8s":  # stacked-tail flat order
+                    from .dpf.device import _fast_leaf_perm_root_stacked
+
+                    perm = _fast_leaf_perm_root_stacked(
+                        key[2], h, key[3], key[4])
                     self._storage_cache[key] = patched(
                         val, perm[r], raw_rows(g, r)
                     )
@@ -933,6 +960,12 @@ class TpuPirServer:
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = self._use_pallas if self._use_pallas is not None else on_tpu
         if use_pallas:
+            if shared_rk and self.fast_stacked:
+                from .models.pipeline import fused_fast_root_batch_stacked_fn
+
+                return fused_fast_root_batch_stacked_fn(
+                    root_layout, interpret=not on_tpu,
+                )(self._root_table_u8(g, depth, n_blk, stacked=True), pay)
             return fused_fast_root_batch_pallas_fn(
                 root_layout, tail_levels=self.pallas_tail_levels,
                 interpret=not on_tpu,
