@@ -305,6 +305,11 @@ def fast_tail_expand_stacked_pallas(
                                lambda i: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s_n, 8, bn, 16, w), jnp.uint32),
+        # the leaf AES holds several (8, BN, 16, W) temporaries (~2 MB
+        # each at k=16 on a 1 GiB table) — Mosaic's default 16 MB scoped
+        # budget rejects the measured 22.7 MB stack; v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf, ctr)
 
