@@ -462,7 +462,13 @@ LEAF_BITS = 128
 # client-side default for fast-mode keygen (power of two >= 128); wide
 # leaves cut server expansion AES ~3x (see above). Clamped per height by
 # fast_leaf_bits_for_height so shallow trees keep >= 5 device levels.
-DEFAULT_FAST_LEAF_BITS = 128
+# 1024 measured fastest end-to-end on the 1 GiB serving shape with the
+# stacked tail kernel (r4 sweep: 14,673 GB/s pipelined vs 11,986 at 128;
+# device 265 vs 332 ms/4096-batch; 2048 was device-par but keygen-
+# heavier and pipelined slower). Before the stacked kernel the per-query
+# tail was tile-bound and wide leaves measured NO faster — the width
+# only pays with work-proportional expansion (docs/PERFORMANCE.md r4).
+DEFAULT_FAST_LEAF_BITS = 1024
 
 
 @dataclass

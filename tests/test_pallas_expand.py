@@ -47,10 +47,13 @@ def test_tail_kernel_matches_xla():
     from pir_tpu.ops.pallas_expand import fast_tail_expand_pallas
 
     rng = random.Random(5)
-    db = generate_random_db(1 << 13, 8)  # depth 6
+    db = generate_random_db(1 << 13, 8)  # depth 6 at 128-bit leaves
     md = db.metadata()
+    # pin the classic narrow leaf: this test's XLA reference is the
+    # 128-bit leaf rule; wide leaves are covered by test_fast_wide_leaf
     shares = [q.new_index_query_shares(md, rng.randrange(db.db_size), 1, 2,
-                                       fast=True)[0] for _ in range(4)]
+                                       fast=True, leaf_bits=128)[0]
+              for _ in range(4)]
     pay, layout = make_fast_payload_batch(shares)
     for tail in (0, 1):
         want = _tail_reference(pay, layout, tail)
@@ -84,8 +87,9 @@ def test_pallas_batch_path_end_to_end():
     sh = [q.new_index_query_shares(md, i, 1, 2, fast=True) for i in idxs]
 
     depth = sh[0][0].key_fast.depth
-    flat = 128 << depth
-    perm = _fast_leaf_perm_root(depth, db.db_size)
+    n_blk = sh[0][0].key_fast.leaf_bits // 128  # default may widen leaves
+    flat = (128 * n_blk) << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size, n_blk)
     rows = db.data.reshape(db.db_size, db.slot_bytes)
     tab = jnp.asarray(pad_rows_u8(
         scatter_rows_to_storage_order(rows, perm, flat), 512))
@@ -119,8 +123,9 @@ def test_pallas_batch_path_shared_prf_keys():
     sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
 
     depth = sh[0][0].key_fast.depth
-    flat = 128 << depth
-    perm = _fast_leaf_perm_root(depth, db.db_size)
+    n_blk = sh[0][0].key_fast.leaf_bits // 128  # default may widen leaves
+    flat = (128 * n_blk) << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size, n_blk)
     tab = jnp.asarray(pad_rows_u8(
         scatter_rows_to_storage_order(db.data, perm, flat), 512))
 
@@ -154,8 +159,9 @@ def test_all_xla_expand_matches_pallas_tail():
     sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
 
     depth = sh[0][0].key_fast.depth
-    flat = 128 << depth
-    perm = _fast_leaf_perm_root(depth, db.db_size)
+    n_blk = sh[0][0].key_fast.leaf_bits // 128  # default may widen leaves
+    flat = (128 * n_blk) << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size, n_blk)
     tab = jnp.asarray(pad_rows_u8(
         scatter_rows_to_storage_order(db.data, perm, flat), 512))
 
@@ -190,8 +196,9 @@ def test_pallas_batch_q_slicing_matches_unsliced(monkeypatch):
     sh = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
 
     depth = sh[0][0].key_fast.depth
-    flat = 128 << depth
-    perm = _fast_leaf_perm_root(depth, db.db_size)
+    n_blk = sh[0][0].key_fast.leaf_bits // 128  # default may widen leaves
+    flat = (128 * n_blk) << depth
+    perm = _fast_leaf_perm_root(depth, db.db_size, n_blk)
     tab = jnp.asarray(pad_rows_u8(
         scatter_rows_to_storage_order(db.data, perm, flat), 512))
 
