@@ -99,10 +99,12 @@ def main():
 
     pay, layout = make_fast_payload_batch(shares)
     d = layout.depth
-    table = server._root_table_u8(1, d)
+    n_blk = layout.leaf_blocks  # leaf width in 128-bit CTR blocks
+    table = server._root_table_u8(1, d, n_blk)
     rows, b = table.shape
-    # 3 PRF blocks per parent of the 2^d-leaf tree + 1 leaf PRG block
-    aes_per_query = 3 * ((1 << d) - 1) + (1 << d)
+    # 3 PRF blocks per parent of the 2^d-leaf tree + n_blk leaf PRG
+    # blocks per (128*n_blk)-row leaf (wide-leaf CTR extension)
+    aes_per_query = 3 * ((1 << d) - 1) + n_blk * (1 << d)
 
     full_fn = fused_fast_root_batch_pallas_fn(
         layout, tail_levels=server.pallas_tail_levels, interpret=not on_tpu)
@@ -180,7 +182,8 @@ def main():
     eff_full = batch * table_bytes / t_full_a / 1e9
     # device floor if both stages ran at their unit roofs
     t_roof = aes_total / AES_ROOF_BPS + macs / MXU_ROOF_MACS
-    log(f"tree: depth {d} over 128-row leaves -> {aes_per_query/1e3:.1f} K "
+    log(f"tree: depth {d} over {128 * n_blk}-row leaves -> "
+        f"{aes_per_query/1e3:.1f} K "
         f"AES/query; achieved {bps/1e9:.2f} G AES blocks/s in expansion "
         f"({bps/AES_ROOF_BPS*100:.0f}% of the bitsliced-AES VPU roof)")
     log(f"scan: {scan_tops:.0f} T int8 MAC/s "
