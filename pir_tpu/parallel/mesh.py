@@ -200,11 +200,13 @@ def make_sharded_fast_key(
     while lvl < depth and m < min_nodes:
         lvl += 1
         m = -(-n_leaves // (1 << (depth - lvl)))
-    if m < min_nodes:
-        raise ValueError(
-            f"height {fkey.height} too small to shard {n_shards} ways in fast "
-            f"mode (need >= {min_nodes * leaf_bits} rows)"
-        )
+    # m may stay below 32 * n_shards on small tables (wide leaves shrink
+    # the node count: leaf_bits=1024 needs 32768 rows per shard for a
+    # full 32-node lane word). The 32-node floor is only a lane-word
+    # packing convenience, so pad with zero seeds instead of refusing:
+    # padded nodes expand to garbage bits that select zero-padded table
+    # rows (pad_table_rows), XOR-neutral by construction — the same
+    # mechanism already used for non-divisible real node counts.
     per_shard = -(-(-(-m // n_shards)) // 32) * 32
     m_padded = per_shard * n_shards
 
@@ -1019,7 +1021,12 @@ class MeshPirServer:
             return False
         h = self.db.db_size // query.group_size
         if query.key_fast is not None:
-            return h >= query.key_fast.leaf_bits * 32 * self.n_shards
+            # engagement floor independent of the key's leaf width: below
+            # a full 32-node lane word per shard make_sharded_fast_key
+            # zero-pads (scan waste, bounded to ~leaf_bits/128 x), but
+            # per-chip work still beats the single-host path from ~4K
+            # real rows per shard (the r3 floor at 128-bit leaves)
+            return h >= 32 * 128 * self.n_shards
         return h >= 32 * self.n_shards * 2  # subtree split needs headroom
 
     def _points_applicable(self, query) -> bool:

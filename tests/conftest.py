@@ -39,6 +39,11 @@ QUICK_FILES = {
     "test_encrypted",
     "test_paillier",
     "test_keyword",
+    # 2-device virtual-mesh smoke: one batch through every MeshPirServer
+    # fast/compat path at the serving-default key geometry, so a
+    # serving-default flip can never ship with the mesh tier unrun
+    # (the r4 regression class)
+    "test_mesh_smoke",
 }
 
 

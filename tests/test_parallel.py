@@ -105,7 +105,9 @@ def test_sharded_fast_batched_answer_matches_host():
     fcw = np.stack([k.fcw_masks for k in keys])
     rk = np.stack([k.rk_masks for k in keys])
     rk_leaf = np.stack([k.rk_leaf for k in keys])
-    perm = _fast_leaf_perm(k0.d_levels, k0.rows_per_shard, k0.per_shard_nodes)
+    n_blk = k0.fcw_masks.shape[1] if k0.fcw_masks.ndim == 4 else 1
+    perm = _fast_leaf_perm(k0.d_levels, k0.rows_per_shard,
+                           k0.per_shard_nodes, n_blk)
 
     table = pack_table_u32(db.data, height, 1)
     table = pad_table_rows(table, n_shards * k0.rows_per_shard)
@@ -154,9 +156,13 @@ def test_mesh_root_start_fast_path():
     from pir_tpu.parallel.mesh import MeshPirServer, make_mesh
 
     rng = random.Random(3)
-    # depth 9 >= shard_levels + 5 = 7 (full-word leaf occupancy); the
-    # +700 makes the last shard partial
-    height = (1 << 15) + 700
+    # sized from the EFFECTIVE leaf width so the root path engages at the
+    # serving default (depth >= shard_levels + 5, full-word leaf
+    # occupancy — _root_applicable); the +700 makes the last shard
+    # partial. r4 regression: the geometry was hard-coded for 128-bit
+    # leaves, so the 1024-bit default silently fell back to the host path.
+    shard_levels = 2  # tp=4 below
+    height = (dpf_host.DEFAULT_FAST_LEAF_BITS << (shard_levels + 5)) + 700
     db = generate_random_db(height, 24)
     md = db.metadata()
     eng = MeshPirServer(db, mesh=make_mesh(8, dp=2))
