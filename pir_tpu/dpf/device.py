@@ -743,6 +743,8 @@ def _expand_root_level_lanes(seeds, t_plane, cw_seed_mask, cw_tl, cw_tr,
     seeds (8,16,W*Q) / t_plane (W*Q,) hold W = max(1, 2^i // 32) packed
     words per query, word-major (flat index w*Q + q, so per-query masks
     tile along the flat axis). cw_seed_mask (8,16,Q), cw_tl/cw_tr (Q,).
+    rk_masks is (11,8,3,16,1) batch-shared, or (11,8,3,16,Q) per-query
+    (multi-tenant batches) — tiled along the flat axis like the cw masks.
     Identical algebra to _expand_root_level — only the batching layout
     differs — so outputs are bit-for-bit equal after regrouping.
     """
@@ -750,6 +752,8 @@ def _expand_root_level_lanes(seeds, t_plane, cw_seed_mask, cw_tl, cw_tr,
         cw_seed_mask = jnp.tile(cw_seed_mask, (1, 1, w))
         cw_tl = jnp.tile(cw_tl, w)
         cw_tr = jnp.tile(cw_tr, w)
+        if rk_masks.shape[-1] != 1:
+            rk_masks = jnp.tile(rk_masks, (1, 1, 1, 1, w))
     out = _prf_triple(seeds, rk_masks)
     s_l, t_l, s_r, t_r = _children(out, t_plane, cw_seed_mask, cw_tl, cw_tr)
     if i < 5:
@@ -790,43 +794,68 @@ def expand_root_head_lanes(payloads, layout: FastRootLayout, rk_masks,
     return seeds, t, cw_s_tail, cw_tl_tail, cw_tr_tail, fcw[..., None]
 
 
-def expand_root_head_grouped(payloads, layout: FastRootLayout, rk_masks,
-                             head_levels: int, k: int):
-    """Batch-shared-key root head regrouped for the STACKED tail kernel
-    (ops/pallas_expand.fast_tail_expand_stacked_pallas): k queries per
-    grid step, lane-packed query-major (lane = j*NW0 + w).
-
-    Returns seeds (S,8,1,16,W), t (S,1,1,W), cw_s (S,tail,8,16,W),
-    cw_tl/cw_tr (S,tail,1,W), fcw (S,8,n_blk,16,W), with S = Q // k and
-    W = k * NW0. Q must be a multiple of k (callers pad payload rows).
-    """
+def unpack_fast_root_payload_lanes_rk(payloads, layout: FastRootLayout):
+    """Per-query round-key masks with Q in lanes (multi-tenant batches):
+    payloads (Q, total) -> rk (11,8,3,16,Q), rk_leaf (11,8,16,Q).
+    The lane-dense layout wastes nothing under (8,128) tiling, unlike
+    the per-query (…,16,1) masks of the vmapped path (~1 MiB of tile
+    padding per query — the batch-4096 OOM)."""
     q_n = payloads.shape[0]
+    offs = np.cumsum((0,) + layout.sizes)
+    rk_tree = _unpack_block_masks(
+        payloads[:, offs[6]:offs[7]].reshape(q_n, 3, 11, 4)
+    )  # (Q,3,11,8,16)
+    rk = jnp.transpose(rk_tree, (2, 3, 1, 4, 0))  # (11,8,3,16,Q)
+    rkl = jnp.transpose(
+        _unpack_block_masks(payloads[:, offs[7]:offs[8]].reshape(q_n, 11, 4)),
+        (1, 2, 3, 0),
+    )  # (11,8,16,Q)
+    return rk, rkl
+
+
+def regroup_rk_stacked(rk, k: int, nw0: int):
+    """Per-query lane-major masks (..., Q) -> per-grid-step (S, ..., W)
+    for the stacked tail kernel, W = k * nw0, lane = j*NW0 + w (each
+    query's masks repeated across its nw0 lane words)."""
+    q_n = rk.shape[-1]
+    s_n = q_n // k
+    lead = rk.shape[:-1]
+    r = rk.reshape(*lead, s_n, k)
+    r = jnp.broadcast_to(r[..., None], (*lead, s_n, k, nw0))
+    r = r.reshape(*lead, s_n, k * nw0)
+    return jnp.moveaxis(r, -2, 0)
+
+
+def regroup_head_stacked(seeds, t, cw_s_tail, cw_tl_tail, cw_tr_tail, fcw,
+                         k: int, nw0: int, n_blk: int):
+    """Regroup post-head word-major lane arrays for the STACKED tail
+    kernel (ops/pallas_expand.fast_tail_expand_stacked_pallas): k queries
+    per grid step, lane-packed query-major (lane = j*NW0 + w).
+
+    seeds (8,16,NW0*Q) / t (NW0*Q,) word-major (flat = w*Q + q, the
+    _expand_root_level_lanes layout), cw_*_tail already sliced to the
+    tail levels ((tail,8,16,Q) / (tail,Q)), fcw (Q,8,16) or
+    (Q,8,n_blk,16). Returns seeds (S,8,1,16,W), t (S,1,1,W),
+    cw_s (S,tail,8,16,W), cw_tl/cw_tr (S,tail,1,W), fcw (S,8,n_blk,16,W),
+    with S = Q // k and W = k * NW0. Q must be a multiple of k.
+    """
+    q_n = fcw.shape[0]
     if q_n % k:
         raise ValueError(f"batch {q_n} not a multiple of group {k}")
     s_n = q_n // k
-    seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
-        payloads, layout)
-    for i in range(head_levels):
-        w = max(1, (1 << i) // 32)
-        seeds, t = _expand_root_level_lanes(
-            seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
-    nw0 = max(1, (1 << head_levels) // 32)
     wl = k * nw0
-    # head layout is word-major (flat = w*Q + q); regroup to per-step
-    # query-major lanes (lane = j*NW0 + w)
     seeds = seeds.reshape(8, 16, nw0, s_n, k).transpose(3, 0, 1, 4, 2)
     seeds = seeds.reshape(s_n, 8, 1, 16, wl)
     t = t.reshape(nw0, s_n, k).transpose(1, 2, 0).reshape(s_n, 1, 1, wl)
-    tail = layout.depth - head_levels
-    cw_t = cw_s[head_levels:].reshape(tail, 8, 16, s_n, k)
+    tail = cw_s_tail.shape[0]
+    cw_t = cw_s_tail.reshape(tail, 8, 16, s_n, k)
     cw_t = jnp.broadcast_to(cw_t[..., None], (tail, 8, 16, s_n, k, nw0))
     cw_t = cw_t.reshape(tail, 8, 16, s_n, wl).transpose(3, 0, 1, 2, 4)
     def _tbits(cw):
-        c = cw[head_levels:].reshape(tail, s_n, k)
+        c = cw.reshape(tail, s_n, k)
         c = jnp.broadcast_to(c[..., None], (tail, s_n, k, nw0))
         return c.reshape(tail, s_n, 1, wl).transpose(1, 0, 2, 3)
-    cw_tl_t, cw_tr_t = _tbits(cw_tl), _tbits(cw_tr)
-    n_blk = layout.leaf_blocks
+    cw_tl_t, cw_tr_t = _tbits(cw_tl_tail), _tbits(cw_tr_tail)
     if n_blk > 1:  # (Q, 8, n_blk, 16)
         fg = fcw.reshape(s_n, k, 8, n_blk, 16).transpose(0, 2, 3, 4, 1)
     else:  # (Q, 8, 16)
@@ -834,6 +863,22 @@ def expand_root_head_grouped(payloads, layout: FastRootLayout, rk_masks,
     fg = jnp.broadcast_to(fg[..., None], (s_n, 8, n_blk, 16, k, nw0))
     fg = fg.reshape(s_n, 8, n_blk, 16, wl)
     return seeds, t, cw_t, cw_tl_t, cw_tr_t, fg
+
+
+def expand_root_head_grouped(payloads, layout: FastRootLayout, rk_masks,
+                             head_levels: int, k: int):
+    """Batch-shared-key root head regrouped for the STACKED tail kernel:
+    unpack + head walk with Q in lanes, then regroup_head_stacked."""
+    seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+        payloads, layout)
+    for i in range(head_levels):
+        w = max(1, (1 << i) // 32)
+        seeds, t = _expand_root_level_lanes(
+            seeds, t, cw_s[i], cw_tl[i], cw_tr[i], rk_masks, i, w)
+    nw0 = max(1, (1 << head_levels) // 32)
+    return regroup_head_stacked(
+        seeds, t, cw_s[head_levels:], cw_tl[head_levels:],
+        cw_tr[head_levels:], fcw, k, nw0, layout.leaf_blocks)
 
 
 @functools.lru_cache(maxsize=64)

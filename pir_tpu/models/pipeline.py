@@ -494,17 +494,27 @@ def fused_fast_root_batch_stacked_fn(layout, block_rows: int = 2048,
     flat order differs from the classic bit-reversal one).
 
     jit(table_u8 (flat_pad, B), payloads (Q, L)) -> (Q, B) uint8.
+
+    Works for BOTH key styles against the SAME stacked table: batch-
+    shared keys (layout.shared_rk, one (11,8,3,16,1) rk mask set) and
+    distinct-key multi-tenant batches (per-query rk unpacked lane-dense
+    and regrouped to per-grid-step (S,11,8,3,16,W) operands — full-tile,
+    no per-query mask padding, unlike the vmapped path's batch-4096
+    OOM). Callers bound distinct-key batch size (server.
+    fast_nonshared_chunk) to cap the regrouped rk HBM footprint
+    (~3.7 MB per 16-query grid step).
     """
     from ..dpf.device import (
         _leaf_ctr_masks,
         expand_root_head_grouped,
+        regroup_rk_stacked,
         unpack_fast_root_payload,
+        unpack_fast_root_payload_lanes_rk,
     )
     from ..ops.pallas_expand import fast_tail_expand_stacked_pallas
     from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
 
-    if not getattr(layout, "shared_rk", False):
-        raise ValueError("stacked root path needs the batch-shared key layout")
+    shared = bool(getattr(layout, "shared_rk", False))
     depth = layout.depth
     n_blk = layout.leaf_blocks
     k, tail = stacked_fast_geometry(depth, n_blk)
@@ -517,14 +527,21 @@ def fused_fast_root_batch_stacked_fn(layout, block_rows: int = 2048,
         if qp != q:  # pad to the step group; sliced back before return
             payloads = jnp.concatenate(
                 [payloads, jnp.tile(payloads[:1], (qp - q, 1))])
-        _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
-            payloads[0], layout)
+        if shared:
+            _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+                payloads[0], layout)
+            rk_head = rk
+        else:
+            rk_head, rkl_lanes = unpack_fast_root_payload_lanes_rk(
+                payloads, layout)
+            rk = regroup_rk_stacked(rk_head, k, nw0)
+            rk_leaf = regroup_rk_stacked(rkl_lanes, k, nw0)
         seeds, t, cw_s, cw_tl, cw_tr, fcw = expand_root_head_grouped(
-            payloads, layout, rk, head_levels, k)
+            payloads, layout, rk_head, head_levels, k)
         packed = fast_tail_expand_stacked_pallas(
             seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf,
             jnp.asarray(_leaf_ctr_masks(n_blk)),
-            tail=tail, n_blk=n_blk, interpret=interpret,
+            tail=tail, n_blk=n_blk, shared_rk=shared, interpret=interpret,
         )  # (S, 8, BN, 16, W); lanes query-major (j*NW0 + w)
         s_n, _, bn, _, _ = packed.shape
         words = packed.reshape(s_n, 8, bn, 16, k, nw0)

@@ -206,7 +206,7 @@ def _varint_parity_packed(seeds, t, fcw_mask):
     return ~((parity & ~allcont) ^ (t & fcw_mask))
 
 
-def _fast_stack_kernel(tail: int, n_blk: int):
+def _fast_stack_kernel(tail: int, n_blk: int, shared_rk: bool = True):
     """Stacked fast tail: k lane-packed queries per grid step.
 
     The per-query tail kernel above is TILE-bound below 128 lane words:
@@ -231,7 +231,11 @@ def _fast_stack_kernel(tail: int, n_blk: int):
                fcw_ref, rkl_ref, ctr_ref, out_ref):
         seeds = seeds_ref[0]  # (8, 1, 16, W)
         t = t_ref[0]  # (1, 1, W)
-        rk = rk_ref[...][:, :, None]  # (11, 8, 1, 3, 16, 1)
+        # shared: (11,8,3,16,1) broadcast over chunks AND lanes; distinct
+        # (multi-tenant): per-step (11,8,3,16,W) lane-dense masks, each
+        # query's keys repeated across its NW0 lane words
+        rk_raw = rk_ref[...] if shared_rk else rk_ref[0]
+        rk = rk_raw[:, :, None]  # (11, 8, 1, 3, 16, 1|W)
         for l in range(tail):
             seeds, t = _stack_level(
                 seeds, t, cw_s_ref[0, l], cw_tl_ref[0, l], cw_tr_ref[0, l],
@@ -241,7 +245,7 @@ def _fast_stack_kernel(tail: int, n_blk: int):
         ctr = ctr_ref[...]
         x = seeds[:, :, None] ^ ctr[:, None]  # (8, B, n_blk, 16, W)
         x = x.reshape(8, b_ch * n_blk, 16, w)
-        rkl = rkl_ref[...]
+        rkl = rkl_ref[...] if shared_rk else rkl_ref[0]
         prg = _aes_encrypt_roll(x, rkl[:, :, None]) ^ x
         fcw = jnp.broadcast_to(
             fcw_ref[0][:, None], (8, b_ch, n_blk, 16, w)
@@ -255,17 +259,21 @@ def _fast_stack_kernel(tail: int, n_blk: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tail", "n_blk", "interpret")
+    jax.jit, static_argnames=("tail", "n_blk", "shared_rk", "interpret")
 )
 def fast_tail_expand_stacked_pallas(
     seeds, t, cw_s, cw_tl, cw_tr, rk, fcw, rk_leaf, ctr, *,
-    tail: int, n_blk: int, interpret: bool = False,
+    tail: int, n_blk: int, shared_rk: bool = True,
+    interpret: bool = False,
 ):
     """Stacked tail walk + leaf PRG, k queries per grid step.
 
     seeds (S,8,1,16,W), t (S,1,1,W), cw_s (S,tail,8,16,W),
-    cw_tl/cw_tr (S,tail,1,W), rk (11,8,3,16,1) batch-shared,
-    fcw (S,8,n_blk,16,W), rk_leaf (11,8,16,1), ctr (8,n_blk,16,1)
+    cw_tl/cw_tr (S,tail,1,W), rk (11,8,3,16,1) batch-shared — or, for
+    multi-tenant batches (shared_rk=False), per-step lane-dense rk
+    (S,11,8,3,16,W) / rk_leaf (S,11,8,16,W) (dpf.device
+    regroup_rk_stacked) — fcw (S,8,n_blk,16,W), rk_leaf (11,8,16,1),
+    ctr (8,n_blk,16,1)
     -> (S, 8, 2^tail * n_blk, 16, W) leaf-output words; per query j
     (lane group j*NW0..) flat word order = (bit, chunk, byte, word),
     chunk = (leaf low bits)*n_blk + CTR block.
@@ -277,6 +285,18 @@ def fast_tail_expand_stacked_pallas(
         cw_tl = jnp.zeros((s_n, 1, 1, w), jnp.uint32)
         cw_tr = jnp.zeros((s_n, 1, 1, w), jnp.uint32)
     bn = (1 << tail) * n_blk
+    if shared_rk:
+        rk_spec = pl.BlockSpec((11, 8, 3, 16, 1), lambda i: (0, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        rkl_spec = pl.BlockSpec((11, 8, 16, 1), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        rk_spec = pl.BlockSpec((1, 11, 8, 3, 16, w),
+                               lambda i: (i, 0, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        rkl_spec = pl.BlockSpec((1, 11, 8, 16, w),
+                                lambda i: (i, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 8, 1, 16, w), lambda i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -288,17 +308,15 @@ def fast_tail_expand_stacked_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, lv, 1, w), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((11, 8, 3, 16, 1), lambda i: (0, 0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        rk_spec,
         pl.BlockSpec((1, 8, n_blk, 16, w), lambda i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((11, 8, 16, 1), lambda i: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        rkl_spec,
         pl.BlockSpec((8, n_blk, 16, 1), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
-        _fast_stack_kernel(tail, n_blk),
+        _fast_stack_kernel(tail, n_blk, shared_rk),
         grid=(s_n,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, bn, 16, w),

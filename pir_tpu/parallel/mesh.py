@@ -400,6 +400,129 @@ def make_sharded_fast_root_step(mesh: Mesh, layout, shard_levels: int,
     return jax.jit(mapped)
 
 
+def make_sharded_fast_root_stacked_step(mesh: Mesh, layout,
+                                        shard_levels: int,
+                                        block_rows: int = 2048,
+                                        block_cols: int = 512,
+                                        interpret: bool = False):
+    """Root-start multi-chip fast step via the STACKED tail kernel —
+    the r4 single-chip serving pipeline per shard (k lane-packed queries
+    per grid step, full-tile AES at every level; measured 2.5x the
+    per-query tail's roof fraction, docs/PERFORMANCE.md r4 table).
+
+    Identical surface to make_sharded_fast_root_step; each tp shard walks
+    its static shard prefix at full Q lanes, runs the stacked head/tail
+    over its LOCAL d_local-level subtree (stacked_fast_geometry sized
+    from d_local, so per-shard VMEM budgets match the single-chip
+    kernel's), and scans its shard slice of the CHUNK-MAJOR stacked
+    storage table (build_sharded_root_table_u8 with stacked=True).
+    Partial answers XOR-combine over ICI (db.go:256-261's merge).
+
+    step(table (tp * flat_local_pad, B) u8  P('tp', None),
+         payloads (Q, L) uint32             P('dp', None))
+      -> (Q, B) uint8                       P('dp', None)
+    """
+    from ..dpf.device import (
+        _children,
+        _expand_root_level_lanes,
+        _leaf_ctr_masks,
+        _prf_triple,
+        regroup_head_stacked,
+        unpack_fast_root_payload,
+        unpack_fast_root_payload_lanes,
+    )
+    from ..models.pipeline import (
+        _SCAN_Q_VMEM,
+        scan_tile_sizes,
+        stacked_fast_geometry,
+    )
+    from ..ops.pallas_expand import fast_tail_expand_stacked_pallas
+    from ..ops.pallas_scan import mxu_batched_scan_packed_pallas
+
+    if not getattr(layout, "shared_rk", False):
+        raise ValueError("root-start mesh step needs the batch-shared "
+                         "key layout (batch keygen)")
+    depth = layout.depth
+    n_blk = layout.leaf_blocks
+    if shard_levels > depth:
+        raise ValueError(f"cannot shard {1 << shard_levels} ways: the "
+                         f"fast tree has only {depth} levels")
+    d_local = depth - shard_levels
+    k, tail = stacked_fast_geometry(d_local, n_blk)
+    head_local = d_local - tail
+    nw0 = max(1, (1 << head_local) // 32)
+
+    def local(table_s, payloads):
+        q_n = payloads.shape[0]
+        qp = -(-q_n // k) * k
+        if qp != q_n:  # pad to the step group; sliced back before gather
+            payloads = jnp.concatenate(
+                [payloads, jnp.tile(payloads[:1], (qp - q_n, 1))])
+        _, _, _, _, _, _, rk, rk_leaf = unpack_fast_root_payload(
+            payloads[0], layout
+        )
+        seeds, t, cw_s, cw_tl, cw_tr, fcw = unpack_fast_root_payload_lanes(
+            payloads, layout
+        )
+        s_idx = jax.lax.axis_index("tp")
+        one = jnp.uint32(1)
+        # static subtree-prefix walk (see make_sharded_fast_root_step)
+        for l in range(shard_levels):
+            out = _prf_triple(seeds, rk)
+            s_l, t_l, s_r, t_r = _children(
+                out, t, cw_s[l], cw_tl[l], cw_tr[l]
+            )
+            bit = (s_idx >> (shard_levels - 1 - l)) & 1
+            m = jnp.uint32(0) - bit.astype(jnp.uint32)
+            seeds = (s_l ^ ((s_l ^ s_r) & m)) & one
+            t = (t_l ^ ((t_l ^ t_r) & m)) & one
+        # local Q-in-lanes head, then regroup for the stacked tail
+        for j in range(head_local):
+            w = max(1, (1 << j) // 32)
+            g_l = shard_levels + j
+            seeds, t = _expand_root_level_lanes(
+                seeds, t, cw_s[g_l], cw_tl[g_l], cw_tr[g_l], rk, j, w
+            )
+        lo = shard_levels + head_local
+        seeds, t, cw_t, cw_tl_t, cw_tr_t, fg = regroup_head_stacked(
+            seeds, t, cw_s[lo:], cw_tl[lo:], cw_tr[lo:], fcw, k, nw0, n_blk
+        )
+        packed = fast_tail_expand_stacked_pallas(
+            seeds, t, cw_t, cw_tl_t, cw_tr_t, rk, fg, rk_leaf,
+            jnp.asarray(_leaf_ctr_masks(n_blk)),
+            tail=tail, n_blk=n_blk, interpret=interpret,
+        )  # (S, 8, BN, 16, W); lanes query-major (j*NW0 + w)
+        s_n, _, bn, _, _ = packed.shape
+        words = packed.reshape(s_n, 8, bn, 16, k, nw0)
+        words = words.transpose(0, 4, 1, 2, 3, 5).reshape(qp, -1)
+        rows, b = table_s.shape
+        flat = words.shape[1] * 32
+        if rows > flat:
+            words = jnp.pad(words, ((0, 0), (0, (rows - flat) // 32)))
+        outs = []
+        for s in range(0, qp, _SCAN_Q_VMEM):
+            wc = words[s:s + _SCAN_Q_VMEM]
+            br, bc = scan_tile_sizes(wc.shape[0], rows, b,
+                                     max_br=block_rows, max_bc=block_cols)
+            outs.append(mxu_batched_scan_packed_pallas(
+                table_s, wc.T, block_rows=br, block_cols=bc,
+                interpret=interpret,
+            ))
+        partial = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        partial = partial[:q_n]
+        gathered = jax.lax.all_gather(partial, "tp")
+        return xor_reduce(gathered, axis=0)
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("tp", None), P("dp", None)),
+        out_specs=P("dp", None),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_compat_root_step(mesh: Mesh, layout, shard_levels: int,
                                   w: int = 128, max_tail: int = 3,
                                   q_chunk: int = 16,
@@ -547,17 +670,21 @@ def build_sharded_root_table_u8(data: np.ndarray, height: int,
                                 group_size: int, slot_bytes: int,
                                 depth: int, shard_levels: int,
                                 pad_to: int = 8192,
-                                n_blk: int = 1) -> np.ndarray:
+                                n_blk: int = 1,
+                                stacked_tail: int | None = None
+                                ) -> np.ndarray:
     """Shard-local storage-ordered u8 table for the root-start mesh step.
 
     Shard s owns natural rows [s * rows_per_shard, (s+1) * rows_per_shard)
-    scattered by the LOCAL bit-reversal perm (the same layout the
-    shard's local expansion emits); each shard slice is zero-padded to a
-    common multiple-of-`pad_to` length and the slices are stacked so
-    P('tp') sharding hands slice s to tp shard s.
+    scattered by the LOCAL storage perm — the bit-reversal order the
+    per-query tail emits, or (stacked_tail is not None) the chunk-major
+    order of the stacked tail kernel at that tail depth; each shard slice
+    is zero-padded to a common multiple-of-`pad_to` length and the slices
+    are stacked so P('tp') sharding hands slice s to tp shard s.
     """
     from ..dpf.device import (
         _fast_leaf_perm_root,
+        _fast_leaf_perm_root_stacked,
         scatter_rows_to_storage_order,
     )
     from ..ops.matmul_scan import pad_rows_u8
@@ -574,7 +701,12 @@ def build_sharded_root_table_u8(data: np.ndarray, height: int,
         lo = s * rows_per_shard
         local_h = min(max(h - lo, 0), rows_per_shard)
         if local_h:
-            perm = _fast_leaf_perm_root(d_local, local_h, n_blk)
+            perm = (
+                _fast_leaf_perm_root_stacked(d_local, local_h, n_blk,
+                                             stacked_tail)
+                if stacked_tail is not None
+                else _fast_leaf_perm_root(d_local, local_h, n_blk)
+            )
             sc = scatter_rows_to_storage_order(
                 rows[lo:lo + local_h], perm, flat_local
             )
@@ -702,7 +834,7 @@ class MeshPirServer:
 
     def __init__(self, db, mesh: Mesh | None = None, tp: int | None = None,
                  dp: int = 1, compat_w: int = 128, compat_max_tail: int = 3,
-                 compat_q_chunk: int = 16):
+                 compat_q_chunk: int = 16, fast_stacked: bool = True):
         if mesh is None:
             n = (tp or len(jax.devices()) // dp) * dp
             mesh = make_mesh(n, dp=dp)
@@ -710,6 +842,10 @@ class MeshPirServer:
         self.mesh = mesh
         self.n_shards = mesh.shape["tp"]
         self.dp = mesh.shape["dp"]
+        # shared-key root-start batches ride the r4 STACKED tail kernel
+        # per shard (same per-chip efficiency as single-chip serving);
+        # False = the r3 per-query tail, kept for A/B
+        self.fast_stacked = fast_stacked
         # cascade geometry of the compat root-start step (see
         # TpuPirServer compat_pallas_* for the single-chip rationale)
         self.compat_w = compat_w
@@ -758,13 +894,13 @@ class MeshPirServer:
                 self._tables[(g, rows_per_shard)] = (
                     jnp.asarray(tbl).at[jnp.asarray(r)].set(jnp.asarray(vals))
                 )
-            for (g, depth, n_blk), (tbl, padded_len) in list(
+            for (g, depth, n_blk, stk), (tbl, padded_len) in list(
                     self._root_tables.items()):
                 pos, vals = self._root_update_rows(idxs, g, depth, padded_len,
-                                                   n_blk)
+                                                   n_blk, stk)
                 if pos is None:
                     continue
-                self._root_tables[(g, depth, n_blk)] = (
+                self._root_tables[(g, depth, n_blk, stk)] = (
                     tbl.at[jnp.asarray(pos)].set(jnp.asarray(vals)),
                     padded_len,
                 )
@@ -805,10 +941,14 @@ class MeshPirServer:
         vals = self.db.data[: h * g].reshape(h, row_bytes)[r]
         return pos, vals
 
-    def _root_update_rows(self, idxs, g, depth, padded_len, n_blk=1):
+    def _root_update_rows(self, idxs, g, depth, padded_len, n_blk=1,
+                          stacked_tail=None):
         """Storage positions + fresh row bytes for changed rows in a
         root-start sharded u8 table (one scatter per layout)."""
-        from ..dpf.device import _fast_leaf_perm_root
+        from ..dpf.device import (
+            _fast_leaf_perm_root,
+            _fast_leaf_perm_root_stacked,
+        )
 
         h = self.db.db_size // g
         r = np.unique(idxs // g)
@@ -824,7 +964,12 @@ class MeshPirServer:
         for sh in np.unique(s):
             local_h = min(max(h - int(sh) * rows_per_shard, 0),
                           rows_per_shard)
-            perm = _fast_leaf_perm_root(d_local, local_h, n_blk)
+            perm = (
+                _fast_leaf_perm_root_stacked(d_local, local_h, n_blk,
+                                             stacked_tail)
+                if stacked_tail is not None
+                else _fast_leaf_perm_root(d_local, local_h, n_blk)
+            )
             m = s == sh
             pos[m] = int(sh) * padded_len + perm[r_loc[m]]
         row_bytes = g * self.db.slot_bytes
@@ -857,10 +1002,24 @@ class MeshPirServer:
             )
         return self._steps[key]
 
+    def _stacked_tail_for(self, depth: int, n_blk: int) -> int | None:
+        """Stacked-kernel tail depth for this layout, or None when the
+        engine serves through the r3 per-query tail (fast_stacked=False).
+        Part of the root-table cache key: the two kernels want different
+        storage orders."""
+        if not self.fast_stacked:
+            return None
+        from ..models.pipeline import stacked_fast_geometry
+
+        shard_levels = self.n_shards.bit_length() - 1
+        _, tail = stacked_fast_geometry(depth - shard_levels, n_blk)
+        return tail
+
     def _root_table(self, group_size: int, depth: int, n_blk: int = 1):
         from jax.sharding import NamedSharding
 
-        key = (group_size, depth, n_blk)
+        stacked_tail = self._stacked_tail_for(depth, n_blk)
+        key = (group_size, depth, n_blk, stacked_tail)
         if key not in self._root_tables:
             with self._lock:
                 if key not in self._root_tables:
@@ -868,7 +1027,7 @@ class MeshPirServer:
                     table = build_sharded_root_table_u8(
                         self.db.data, self.db.db_size, group_size,
                         self.db.slot_bytes, depth, shard_levels,
-                        n_blk=n_blk,
+                        n_blk=n_blk, stacked_tail=stacked_tail,
                     )
                     padded_len = table.shape[0] // self.n_shards
                     dev = jax.device_put(
@@ -880,10 +1039,12 @@ class MeshPirServer:
 
     def _root_step(self, layout):
         key = (layout.depth, layout.total, layout.shared_rk,
-               layout.leaf_blocks)
+               layout.leaf_blocks, self.fast_stacked)
         if key not in self._root_steps:
             shard_levels = self.n_shards.bit_length() - 1
-            self._root_steps[key] = make_sharded_fast_root_step(
+            make = (make_sharded_fast_root_stacked_step if self.fast_stacked
+                    else make_sharded_fast_root_step)
+            self._root_steps[key] = make(
                 self.mesh, layout, shard_levels,
                 interpret=jax.default_backend() != "tpu",
             )

@@ -248,17 +248,21 @@ class TpuPirServer:
         # batches run in chunks of this size.
         self.compat_batch_chunk = compat_batch_chunk
         # a fast batch whose shares carry DISTINCT PRF keys (multi-tenant
-        # serving) expands per-query round-key masks (~2 MiB/query under
-        # (8,128) tiling) — 8+ GiB at batch 4096 — so such batches run in
-        # chunks of this size; same-key batches (batch keygen) share one
-        # mask expansion and run whole.
+        # serving) materialises per-query round-key operands — lane-dense
+        # (S,11,8,3,16,W) per-grid-step masks on the stacked path
+        # (~3.7 MB per 16-query step), ~2 MiB/query of tile padding on
+        # the per-query-tail path — so such batches run in chunks of
+        # this size; same-key batches (batch keygen) share one mask
+        # expansion and run whole.
         self.fast_nonshared_chunk = fast_nonshared_chunk
-        # batch-shared-key fast batches route through the STACKED tail
-        # kernel (k queries per grid step, branches on a leading chunk
-        # axis — full-tile AES at every level; see
-        # models/pipeline.fused_fast_root_batch_stacked_fn). Distinct-key
-        # batches keep the per-query tail (per-query round keys don't
-        # lane-pack). False = per-query tail for everything (A/B).
+        # fast batches route through the STACKED tail kernel (k queries
+        # per grid step, branches on a leading chunk axis — full-tile
+        # AES at every level; models/pipeline.
+        # fused_fast_root_batch_stacked_fn) against ONE chunk-major
+        # storage table for both key styles: batch-shared keys broadcast
+        # one rk mask set, distinct-key (multi-tenant) batches regroup
+        # per-query rk lane-dense per step. False = the r3 per-query
+        # tail + classic bit-reversed table for everything (A/B).
         self.fast_stacked = fast_stacked
         self._plane_tables: dict[int, object] = {}
         self._storage_cache: dict[tuple, tuple] = {}
@@ -960,7 +964,10 @@ class TpuPirServer:
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = self._use_pallas if self._use_pallas is not None else on_tpu
         if use_pallas:
-            if shared_rk and self.fast_stacked:
+            if self.fast_stacked:
+                # one stacked chunk-major table serves BOTH key styles
+                # (shared rk broadcast / per-step lane-dense rk) — a
+                # mixed-tenancy server holds a single fast table copy
                 from .models.pipeline import fused_fast_root_batch_stacked_fn
 
                 return fused_fast_root_batch_stacked_fn(

@@ -70,12 +70,15 @@ def test_stacked_equals_per_query_tail_path():
     pay, layout = make_fast_payload_batch(batch)
     srv = TpuPirServer(db)
     depth = batch[0].key_fast.depth
+    # n_blk must come from the LAYOUT (the r4 default clamps the leaf
+    # width per height; hard-coding 1 here mismatched the key geometry)
+    n_blk = layout.leaf_blocks
     got_s = np.asarray(fused_fast_root_batch_stacked_fn(
         layout, interpret=True
-    )(srv._root_table_u8(1, depth, 1, stacked=True), pay))
+    )(srv._root_table_u8(1, depth, n_blk, stacked=True), pay))
     got_p = np.asarray(fused_fast_root_batch_pallas_fn(
         layout, tail_levels=srv.pallas_tail_levels, interpret=True
-    )(srv._root_table_u8(1, depth, 1), pay))
+    )(srv._root_table_u8(1, depth, n_blk), pay))
     assert (got_s == got_p).all()
 
 
@@ -88,6 +91,83 @@ def test_stacked_pads_non_multiple_batches():
     (out_a, out_b), _ = _stacked_answers(db, idxs)
     assert out_a.shape[0] == n
     _check_recoveries(db, idxs, out_a, out_b)
+
+
+def _distinct_stacked_answers(db, idxs, leaf_bits=None):
+    """Per-query keygen (multi-tenant: distinct PRF keys per share)
+    through the stacked kernel with per-grid-step lane-dense rk."""
+    md = db.metadata()
+    share_lists = [
+        q.new_index_query_shares(md, i, 1, 2, fast=True,
+                                 leaf_bits=leaf_bits)
+        for i in idxs
+    ]
+    outs = []
+    for part in range(2):
+        batch = [sl[part] for sl in share_lists]
+        pay, layout = make_fast_payload_batch(batch)
+        assert not layout.shared_rk
+        srv = TpuPirServer(db)
+        depth = batch[0].key_fast.depth
+        n_blk = batch[0].key_fast.leaf_bits // 128
+        tbl = srv._root_table_u8(1, depth, n_blk, stacked=True)
+        fn = fused_fast_root_batch_stacked_fn(layout, interpret=True)
+        outs.append(np.asarray(fn(tbl, pay)))
+    return outs
+
+
+def test_stacked_distinct_keys_matches_golden():
+    """Multi-tenant batches (distinct per-query PRF keys) ride the SAME
+    stacked kernel + chunk-major table as shared-key batches, with
+    per-query round keys regrouped lane-dense per grid step — a
+    mixed-tenancy server holds ONE fast table copy (r4 held both
+    storage orders, 2x HBM on a 1 GiB table)."""
+    rng = np.random.default_rng(11)
+    db = generate_random_db(1 << 13, 8)
+    for leaf_bits in (None, 256):
+        idxs = [int(i) for i in rng.integers(0, db.db_size, size=5)]
+        out_a, out_b = _distinct_stacked_answers(db, idxs, leaf_bits)
+        _check_recoveries(db, idxs, out_a, out_b)
+
+
+def test_stacked_distinct_keys_deep_tail():
+    """Distinct-key stacked path at a depth with tail > 0 levels inside
+    the Pallas kernel (depth 9 at 128-bit leaves: head 8 + tail 1), so
+    the per-step rk masks feed the in-kernel tree AES, not just the
+    leaf PRG."""
+    k, tail = stacked_fast_geometry(9, 1)
+    assert tail >= 1
+    rng = np.random.default_rng(13)
+    db = generate_random_db(1 << 16, 8)
+    idxs = [int(i) for i in rng.integers(0, db.db_size, size=3)]
+    out_a, out_b = _distinct_stacked_answers(db, idxs)
+    _check_recoveries(db, idxs, out_a, out_b)
+
+
+def test_stacked_distinct_through_server():
+    """Serving surface: a distinct-key batch with use_pallas resolves to
+    the stacked path (fast_stacked default), chunks at
+    fast_nonshared_chunk, and matches the host golden engine per share."""
+    import pir_tpu.server as srv_mod
+
+    rng = np.random.default_rng(15)
+    height = 1 << 13
+    db = generate_random_db(height, 8)
+    eng = TpuPirServer(db, use_pallas=True, fast_nonshared_chunk=4)
+    md = db.metadata()
+    idxs = [int(i) for i in rng.integers(0, height, size=9)]  # 4+4+1
+    share_lists = [q.new_index_query_shares(md, i, 1, 2, fast=True)
+                   for i in idxs]
+    for part in range(2):
+        batch = [sl[part] for sl in share_lists]
+        got = eng.private_secret_shared_query_batch(batch)
+        for sl, res in zip(share_lists, got):
+            want = srv_mod.private_secret_shared_query(db, sl[part])
+            assert res.shares[0].equal(want.shares[0])
+    # the classic bit-reversed table was never built: one fast copy
+    # serves both key styles (keys "root_u8s" = stacked, "root_u8" = r3)
+    assert any(key[0] == "root_u8s" for key in eng._storage_cache)
+    assert not any(key[0] == "root_u8" for key in eng._storage_cache)
 
 
 def test_stacked_through_server_and_updates():

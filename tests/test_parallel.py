@@ -193,6 +193,16 @@ def test_mesh_root_start_fast_path():
     rec = q.recover([outs_u[0][0], outs_u[1][0]])
     assert bytes(rec[0].data) == bytes([7]) * 24
 
+    # A/B: the r3 per-query-tail root step (fast_stacked=False) must
+    # produce identical recoveries through its classic bit-reversed
+    # storage table (the stacked chunk-major order is the default)
+    eng_c = MeshPirServer(db, mesh=make_mesh(8, dp=2), fast_stacked=False)
+    outs_c = [eng_c.private_secret_shared_query_batch([s[k] for s in sh_u])
+              for k in range(2)]
+    assert eng_c._root_tables
+    rec_c = q.recover([outs_c[0][0], outs_c[1][0]])
+    assert bytes(rec_c[0].data) == bytes([7]) * 24
+
     # distinct-keygen shares (no shared PRF keys) must NOT take the
     # root-start path and still answer correctly
     sh_d = [q.new_index_query_shares(md, idxs[1], 1, 2, fast=True),
@@ -205,6 +215,31 @@ def test_mesh_root_start_fast_path():
     for i, idx in enumerate((idxs[1], idxs[2])):
         rec = q.recover([outs_d[0][i], outs_d[1][i]])
         assert bytes(rec[0].data) == db.data[idx].tobytes()
+
+
+def test_mesh_fast_64k_8way():
+    """A 64K-row table serves fast-mode through an 8-way mesh: the r4
+    default flip raised the engagement floor to leaf_bits*32*n_shards =
+    262144 rows, silently routing mid-size tables (which the r3 mesh
+    served fine) to the single-host fallback. Distinct per-query keys,
+    so this rides the subtree-split step with zero-padded partial lane
+    words (make_sharded_fast_key)."""
+    from pir_tpu.parallel.mesh import MeshPirServer
+
+    height = 1 << 16
+    db = generate_random_db(height, 8)
+    eng = MeshPirServer(db, mesh=make_mesh(8, dp=1))
+    rng = random.Random(13)
+    idxs = [rng.randrange(height) for _ in range(2)]
+    sh = [q.new_index_query_shares(db.metadata(), i, 1, 2, fast=True)
+          for i in idxs]
+    assert eng._mesh_applicable(sh[0][0])
+    outs = [eng.private_secret_shared_query_batch([s[k] for s in sh])
+            for k in range(2)]
+    assert eng._tables  # the sharded (non-root) fast path engaged
+    for i, idx in enumerate(idxs):
+        rec = q.recover([outs[0][i], outs[1][i]])
+        assert bytes(rec[0].data) == db.data[idx].tobytes(), (i, idx)
 
 
 def test_mesh_engine_served_over_tcp():
