@@ -465,16 +465,24 @@ def stacked_fast_geometry(depth: int, n_blk: int) -> tuple[int, int]:
     """(k queries per grid step, tail levels) for the stacked fast tail
     (ops/pallas_expand.fast_tail_expand_stacked_pallas).
 
-    k is the largest power of two <= 16 keeping the per-step leaf state
-    (k * flat_rows bits, ~k * flat_rows/8 bytes each for the x/out
+    k is the largest power of two <= the cap keeping the per-step leaf
+    state (k * flat_rows bits, ~k * flat_rows/8 bytes each for the x/out
     blocks) at a few MB of VMEM; the head/tail split then targets
     W = k * NW0 = 128 lane words — full (16, 128) tiles at every kernel
     level, which is the whole point of the stacked scheme.
+
+    The cap default is 16. PIR_STACKED_K_MAX overrides it for sweeps
+    (k=32 = one more tail level, 2x per-step VMEM); it must be set
+    identically for table build and kernel dispatch — both derive the
+    chunk-major storage order from this geometry.
     """
+    import os
+
+    k_cap = int(os.environ.get("PIR_STACKED_K_MAX", 16))
     flat_rows = (128 * n_blk) << depth
-    k = max(1, min(16, (1 << 24) // flat_rows))
+    k = max(1, min(k_cap, (1 << 24) // flat_rows))
     k = 1 << (k.bit_length() - 1)
-    head = min(depth, 5 + (128 // k).bit_length() - 1)
+    head = min(depth, 5 + max(0, (128 // k).bit_length() - 1))
     return k, depth - head
 
 
