@@ -1109,13 +1109,25 @@ class TpuPirServer:
     # ---- steady-state overlap serving (fused scan+expand kernel) ----
 
     def fast_serving_stream(self) -> "FastServingStream":
-        """Open a steady-state fast-mode serving stream backed by the
-        fused scan+expand kernel: batch k's table scan runs in the SAME
-        Pallas kernel as batch k+1's DPF expansion, overlapping the MXU
-        and VPU streams (ops/pallas_fused.py). Batches must be uniform
-        (same size, group size, depth) with batch-shared PRF keys (the
-        batch-keygen layout). One batch of latency is added: submit(k)
-        returns batch k-1's results; flush() drains the last batch."""
+        """Open a steady-state fast-mode serving stream: submit(k)
+        dispatches batch k and returns batch k-1's results (one-batch
+        lag); flush() drains the last batch. Batches must be uniform
+        (same size, group size, depth).
+
+        Default ("stacked", fast_stacked=True): each batch rides the
+        SAME async root-start dispatch as the batch API (the r4 stacked
+        tail kernel + chunk-major table), so batch k-1's fetch and the
+        host build of batch k+1 overlap batch k's device compute —
+        stream throughput matches the pipelined batch path with a
+        bounded two-batch device footprint. Supports wide-leaf keys and
+        distinct-key (multi-tenant) batches.
+
+        fast_stacked=False keeps the r3 fused scan+expand overlap
+        kernel for A/B: batch k's table scan runs in the SAME Pallas
+        kernel as batch k+1's DPF expansion (ops/pallas_fused.py) —
+        128-bit leaves and batch-shared PRF keys only, measured slower
+        than the stacked path at every shape tried (docs/PERFORMANCE.md).
+        """
         return FastServingStream(self)
 
 
@@ -1124,9 +1136,11 @@ class FastServingStream:
 
     def __init__(self, server: TpuPirServer):
         self._srv = server
-        self._shape = None  # (Q, group, depth, layout)
-        self._words = None  # previous batch's packed bits, transposed
-        self._prev = None  # previous batch's (queries,) for slicing
+        self._mode = None  # "stacked" | "fused", decided on first submit
+        self._shape = None  # (Q, group, depth) [+ layout in fused mode]
+        self._pending = None  # stacked: (out_dev, queries) not yet drained
+        self._words = None  # fused: previous batch's packed bits, transposed
+        self._prev = None  # fused: previous batch's (queries,) for slicing
         self._step = None
         self._table_key = None
 
@@ -1136,6 +1150,16 @@ class FastServingStream:
         the next batch — the cache returns the latest patched buffer."""
         return self._srv._root_table_u8(*self._table_key)
 
+    def _check_uniform(self, queries):
+        srv = self._srv
+        q0 = queries[0]
+        if q0.key_fast is None or q0.is_keyword_based:
+            raise ValueError("stream serves fast-mode index queries only")
+        validate_fast_key_geometry(
+            q0.key_fast, srv.db.db_size // q0.group_size
+        )
+        return (len(queries), q0.group_size, q0.key_fast.depth)
+
     def _prepare(self, queries):
         import jax
 
@@ -1144,11 +1168,6 @@ class FastServingStream:
 
         srv = self._srv
         q0 = queries[0]
-        if q0.key_fast is None or q0.is_keyword_based:
-            raise ValueError("stream serves fast-mode index queries only")
-        validate_fast_key_geometry(
-            q0.key_fast, srv.db.db_size // q0.group_size
-        )
         if not srv._batch_shares_prf_keys(queries):
             raise ValueError("stream batches need batch-shared PRF keys")
         pay, layout = make_fast_payload_batch(queries, shared_rk=True)
@@ -1190,17 +1209,47 @@ class FastServingStream:
         PREVIOUS batch's results (None for the first submit). The fetch
         is deferred so callers can drain a few batches behind the device
         (the dispatch itself is async)."""
-        pay = self._prepare(list(queries))
-        out_prev, self._words = self._step(self._table(), self._words, pay)
-        prev, self._prev = self._prev, list(queries)
+        queries = list(queries)
+        if self._mode is None:
+            self._check_uniform(queries)
+            if not self._srv._fast_root_applicable(queries):
+                raise ValueError(
+                    "stream needs the root-start fast path (depth >= 5)"
+                )
+            self._mode = "stacked" if self._srv.fast_stacked else "fused"
+        if self._mode == "fused":
+            pay = self._prepare(queries)
+            out_prev, self._words = self._step(self._table(), self._words,
+                                               pay)
+            prev, self._prev = self._prev, queries
+            if prev is None:
+                return None
+            return self._future(out_prev, prev)
+        # stacked: validate BEFORE dispatch so a refused batch leaves the
+        # pending one answerable (shape-mismatch recoverability)
+        shape = self._check_uniform(queries)
+        if self._shape is None:
+            self._shape = shape
+        elif shape != self._shape:
+            raise ValueError(f"stream batches must keep one shape: "
+                             f"{shape} != {self._shape}")
+        out_dev = self._srv._dispatch_fast_root(queries)
+        prev, self._pending = self._pending, (out_dev, queries)
         if prev is None:
             return None
-        return self._future(out_prev, prev)
+        return self._future(*prev)
 
     def flush(self):
-        """Drain: scan the last submitted batch (a zero payload rides the
-        expansion side and is discarded). Returns that batch's result
-        future, or None if the stream is empty."""
+        """Drain the last submitted batch. Returns that batch's result
+        future, or None if the stream is empty. (Fused mode scans it
+        with a zero payload riding the expansion side, discarded.)"""
+        if self._mode == "stacked":
+            if self._pending is None:
+                return None
+            (out, queries), self._pending = self._pending, None
+            self._shape = None
+            self._mode = None
+            return self._future(out, queries)
         if self._prev is None:
             return None
         q_n, _, _, layout = self._shape
@@ -1209,4 +1258,5 @@ class FastServingStream:
         prev, self._prev = self._prev, None
         self._words = None
         self._shape = None
+        self._mode = None
         return self._future(out_last, prev)

@@ -73,23 +73,19 @@ def test_fused_rejects_nondivisible_grid():
             levels=2, block_rows=4096, block_cols=256, interpret=True)
 
 
-def test_fast_serving_stream_matches_batch():
-    """The overlap serving stream (fused kernel, one-batch lag) answers
-    identically to the regular batch API on the same shares."""
+def _run_stream_vs_batch(eng, leaf_bits=None):
     import numpy as np
 
     from pir_tpu import query as q
-    from pir_tpu.database import generate_random_db
-    from pir_tpu.server import TpuPirServer
 
-    db = generate_random_db(1 << 15, 8)
-    eng = TpuPirServer(db, use_pallas=True)
+    db = eng.db
     md = db.metadata()
     rng = np.random.default_rng(7)
     batches = []
     for _ in range(3):
         idxs = [int(i) for i in rng.integers(0, db.db_size, size=16)]
-        share_lists = q.new_index_query_shares_batch(md, idxs, 1, 2, fast=True)
+        share_lists = q.new_index_query_shares_batch(
+            md, idxs, 1, 2, fast=True, leaf_bits=leaf_bits)
         batches.append([s[0] for s in share_lists])
     stream = eng.fast_serving_stream()
     outs = []
@@ -103,3 +99,25 @@ def test_fast_serving_stream_matches_batch():
         want = eng.private_secret_shared_query_batch(batch)
         for w, g_ in zip(want, got):
             assert g_.shares[0].equal(w.shares[0])
+
+
+def test_fast_serving_stream_matches_batch():
+    """The default (stacked) serving stream — async one-batch lag over
+    the stacked root dispatch — answers identically to the batch API,
+    including at the wide-leaf default keys."""
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.server import TpuPirServer
+
+    db = generate_random_db(1 << 15, 8)
+    _run_stream_vs_batch(TpuPirServer(db, use_pallas=True))
+
+
+def test_fast_serving_stream_fused_ab():
+    """fast_stacked=False keeps the r3 fused overlap kernel on the
+    stream for A/B — 128-bit leaves, batch-shared keys only."""
+    from pir_tpu.database import generate_random_db
+    from pir_tpu.server import TpuPirServer
+
+    db = generate_random_db(1 << 15, 8)
+    eng = TpuPirServer(db, use_pallas=True, fast_stacked=False)
+    _run_stream_vs_batch(eng, leaf_bits=128)
