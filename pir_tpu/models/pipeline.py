@@ -472,15 +472,17 @@ def stacked_fast_geometry(depth: int, n_blk: int) -> tuple[int, int]:
     level, which is the whole point of the stacked scheme.
 
     The cap default is 16. PIR_STACKED_K_MAX overrides it for sweeps
-    (k=32 = one more tail level, 2x per-step VMEM); it must be set
-    identically for table build and kernel dispatch — both derive the
-    chunk-major storage order from this geometry.
+    (k=32 = one more tail level, 2x per-step VMEM — the VMEM budget
+    scales with the cap, k_cap << 20 stacked bits per block, so the
+    knob engages even at the headline 2^20-leaf-bit geometry); it must
+    be set identically for table build and kernel dispatch — both
+    derive the chunk-major storage order from this geometry.
     """
     import os
 
     k_cap = int(os.environ.get("PIR_STACKED_K_MAX", 16))
     flat_rows = (128 * n_blk) << depth
-    k = max(1, min(k_cap, (1 << 24) // flat_rows))
+    k = max(1, min(k_cap, (k_cap << 20) // flat_rows))
     k = 1 << (k.bit_length() - 1)
     head = min(depth, 5 + max(0, (128 // k).bit_length() - 1))
     return k, depth - head
