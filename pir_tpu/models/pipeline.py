@@ -471,16 +471,20 @@ def stacked_fast_geometry(depth: int, n_blk: int) -> tuple[int, int]:
     W = k * NW0 = 128 lane words — full (16, 128) tiles at every kernel
     level, which is the whole point of the stacked scheme.
 
-    The cap default is 16. PIR_STACKED_K_MAX overrides it for sweeps
-    (k=32 = one more tail level, 2x per-step VMEM — the VMEM budget
-    scales with the cap, k_cap << 20 stacked bits per block, so the
-    knob engages even at the headline 2^20-leaf-bit geometry); it must
-    be set identically for table build and kernel dispatch — both
-    derive the chunk-major storage order from this geometry.
+    The cap default is 32 (r5 sweep: k=32 measured 254.9 ms vs 262.3 ms
+    per 4096-batch at the 1 GiB serving shape — expansion per-step
+    overhead amortizes over twice the queries; small batches pad to k,
+    so the Q=8 latency dispatch carries 32 padded queries' work, ~2% of
+    a full batch). PIR_STACKED_K_MAX overrides it for sweeps; the VMEM
+    budget scales with the cap (k_cap << 20 stacked bits per block, one
+    more tail level and 2x per-step VMEM per doubling), so the knob
+    engages even at the headline 2^20-leaf-bit geometry. It must be set
+    identically for table build and kernel dispatch — both derive the
+    chunk-major storage order from this geometry.
     """
     import os
 
-    k_cap = int(os.environ.get("PIR_STACKED_K_MAX", 16))
+    k_cap = int(os.environ.get("PIR_STACKED_K_MAX", 32))
     flat_rows = (128 * n_blk) << depth
     k = max(1, min(k_cap, (k_cap << 20) // flat_rows))
     k = 1 << (k.bit_length() - 1)
